@@ -1,0 +1,13 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding tests exercise a real Mesh without TPU hardware (the driver
+dry-runs the TPU path separately via __graft_entry__.dryrun_multichip)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
