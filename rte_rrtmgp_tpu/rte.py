@@ -41,6 +41,8 @@ def _expand_bc(arr, grid, ncol, what):
         raise ValueError(f"rte: {what} must be (ncol, nband) or (ncol, ngpt); got {arr.shape}")
     if arr.shape[1] == grid.ngpt:
         return arr
+    if arr.shape[1] == 1:  # gray/spectrally-flat boundary value
+        return jnp.broadcast_to(arr, (ncol, grid.ngpt))
     if arr.shape[1] == grid.nband:
         return arr[:, grid.gpt2band]
     raise ValueError(f"rte: {what} has {arr.shape[1]} spectral points; "
