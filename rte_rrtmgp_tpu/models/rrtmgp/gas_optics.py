@@ -1,0 +1,227 @@
+"""RRTMGP gas-optics front end.
+
+Equivalent of reference ``ty_gas_optics_rrtmgp``'s run-time methods
+(rrtmgp/frontend/mo_gas_optics_rrtmgp.F90): ``gas_optics_int`` (:220-331),
+``gas_optics_ext`` (:337-414), ``compute_gas_taus`` (:419-745),
+``source`` (:840-928), ``compute_optimal_angles`` (:1503-1562), and
+``combine_abs_and_rayleigh`` (:1954-2036) — as pure functions over a
+:class:`~rte_rrtmgp_tpu.models.rrtmgp.kdist.KDist`.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import constants
+from ...gas_concs import GasConcs
+from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
+from ...sources import SourcesLW
+from ...ops.gas_optics import (InterpCoeffs, interpolation, planck_sources,
+                               tau_major, tau_minor, tau_rayleigh)
+from ..base import infer_top_at_1
+from .kdist import KDist
+
+__all__ = ["GasOpticsRRTMGP", "get_col_dry"]
+
+
+def get_col_dry(vmr_h2o, plev):
+    """Number of dry-air molecules per cm^2 per layer (reference
+    ``get_layer_number``, rte/kernels/mo_gas_optics_utils.F90:127-152)."""
+    delta_plev = jnp.abs(plev[:, :-1] - plev[:, 1:])
+    fact = 1.0 / (1.0 + vmr_h2o)
+    m_air = (constants.m_dry + constants.m_h2o * vmr_h2o) * fact
+    return (10.0 * delta_plev * constants.avogad * fact
+            / (1000.0 * m_air * 100.0 * constants.grav))
+
+
+class GasOpticsRRTMGP:
+    """Callable gas-optics provider wrapping a loaded :class:`KDist`."""
+
+    def __init__(self, kdist: KDist):
+        self.kdist = kdist
+        self.grid = kdist.grid
+
+    # -------------- inquiry (reference :1431-1498) --------------
+    def source_is_internal(self) -> bool:
+        return self.kdist.source_is_internal()
+
+    def source_is_external(self) -> bool:
+        return self.kdist.source_is_external()
+
+    def press_min(self): return self.kdist.press_ref_min
+    def press_max(self): return self.kdist.press_ref_max
+    def temp_min(self): return self.kdist.temp_ref_min
+    def temp_max(self): return self.kdist.temp_ref_max
+
+    @property
+    def ngpt(self): return self.kdist.ngpt
+
+    # ------------------------------------------------------------------
+    def _check_key_species_present(self, gas_concs: GasConcs):
+        """Reference check_key_species_present (:1403-1422)."""
+        kd = self.kdist
+        key = set()
+        for pair in kd.flavor.T:
+            for g in pair:
+                if g > 0:
+                    key.add(kd.gas_names[g - 1])
+        missing = sorted(g for g in key if g not in gas_concs)
+        if missing:
+            raise ValueError(f"gas_optics: required gases {missing} are not provided")
+
+    def _col_gas(self, play, plev, tlay, gas_concs: GasConcs, col_dry):
+        """VMR gather + column amounts (reference compute_gas_taus
+        :538-609): col_gas[..., 0] = col_dry, col_gas[..., i] = vmr_i * col_dry."""
+        kd = self.kdist
+        ncol, nlay = play.shape
+        dtype = play.dtype
+        vmrs = []
+        for g in kd.gas_names:
+            if g in gas_concs:
+                vmrs.append(gas_concs.get_vmr(g, ncol, nlay).astype(dtype))
+            else:
+                vmrs.append(jnp.zeros((ncol, nlay), dtype))
+        idx_h2o = kd.idx_gas("h2o")
+        if col_dry is None:
+            vmr_h2o = vmrs[idx_h2o - 1] if idx_h2o > 0 else jnp.zeros_like(play)
+            col_dry = get_col_dry(vmr_h2o, plev)
+        col_dry = jnp.asarray(col_dry, dtype)
+        col_gas = jnp.stack([col_dry] + [v * col_dry for v in vmrs], axis=-1)
+        return col_gas, col_dry, idx_h2o
+
+    def _interp(self, play, tlay, col_gas) -> InterpCoeffs:
+        kd = self.kdist
+        return interpolation(
+            play, tlay, col_gas,
+            flavor_gas1=kd.flavor[0], flavor_gas2=kd.flavor[1],
+            neta=kd.neta,
+            press_ref_log=kd.press_ref_log, temp_ref=kd.temp_ref,
+            press_ref_log_delta=kd.press_ref_log_delta,
+            temp_ref_min=kd.temp_ref_min, temp_ref_delta=kd.temp_ref_delta,
+            press_ref_trop_log=kd.press_ref_trop_log, vmr_ref=kd.vmr_ref)
+
+    def _compute_taus(self, play, plev, tlay, gas_concs, col_dry, top_at_1,
+                      scattering: bool):
+        """compute_gas_taus equivalent: absorption (+ Rayleigh) optical
+        depths and the interpolation coefficients for the source function."""
+        kd = self.kdist
+        self._check_key_species_present(gas_concs)
+        col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
+                                                    gas_concs, col_dry)
+        coeffs = self._interp(play, tlay, col_gas)
+
+        tau = tau_major(coeffs, kd.kmajor,
+                        gpoint_flavor=kd.gpoint_flavor, ngpt=kd.ngpt)
+        for lower, mset, ktab in ((True, kd.minor_lower, kd.kminor_lower),
+                                  (False, kd.minor_upper, kd.kminor_upper)):
+            tau = tau_minor(
+                tau, coeffs, ktab, lower=lower,
+                minor_limits_gpt=mset.limits_gpt,
+                kminor_start=mset.kminor_start,
+                idx_minor=mset.idx_minor,
+                idx_minor_scaling=mset.idx_minor_scaling,
+                minor_scales_with_density=mset.scales_with_density,
+                scale_by_complement=mset.scale_by_complement,
+                gpt_flavor_atm=kd.gpoint_flavor[0 if lower else 1],
+                play=play, tlay=tlay, col_gas=col_gas, idx_h2o=idx_h2o)
+
+        if kd.krayl is not None:
+            tau_ray = tau_rayleigh(coeffs, kd.krayl,
+                                   gpoint_flavor=kd.gpoint_flavor,
+                                   ngpt=kd.ngpt, col_gas=col_gas,
+                                   col_dry=col_dry_w, idx_h2o=idx_h2o)
+            # combine_abs_and_rayleigh (reference :1954-2036)
+            t = tau + tau_ray
+            tiny = jnp.finfo(t.dtype).tiny
+            if scattering:
+                ssa = jnp.where(t > 2.0 * tiny, tau_ray / jnp.where(
+                    t > 2.0 * tiny, t, 1.0), 0.0)
+                props = OpticalProps2str(tau=t, ssa=ssa, g=jnp.zeros_like(t),
+                                         grid=self.grid, top_at_1=top_at_1)
+            else:
+                props = OpticalProps1scl(tau=t, grid=self.grid,
+                                         top_at_1=top_at_1)
+        else:
+            if scattering:
+                props = OpticalProps2str(tau=tau, ssa=jnp.zeros_like(tau),
+                                         g=jnp.zeros_like(tau),
+                                         grid=self.grid, top_at_1=top_at_1)
+            else:
+                props = OpticalProps1scl(tau=tau, grid=self.grid,
+                                         top_at_1=top_at_1)
+        return props, coeffs
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def interp_tlev(tlay, play, plev):
+        """Pressure-weighted interpolation/extrapolation of layer
+        temperatures to levels (reference source() :893-911)."""
+        t0 = tlay[:, :1] + (plev[:, :1] - play[:, :1]) * (
+            tlay[:, 1:2] - tlay[:, :1]) / (play[:, 1:2] - play[:, :1])
+        tn = tlay[:, -1:] + (plev[:, -1:] - play[:, -1:]) * (
+            tlay[:, -1:] - tlay[:, -2:-1]) / (play[:, -1:] - play[:, -2:-1])
+        interior = (play[:, :-1] * tlay[:, :-1] * (plev[:, 1:-1] - play[:, 1:])
+                    + play[:, 1:] * tlay[:, 1:] * (play[:, :-1] - plev[:, 1:-1])
+                    ) / (plev[:, 1:-1] * (play[:, :-1] - play[:, 1:]))
+        return jnp.concatenate([t0, interior, tn], axis=1)
+
+    # ------------------------------------------------------------------
+    def gas_optics_lw(self, play, plev, tlay, tsfc, gas_concs: GasConcs,
+                      *, tlev=None, col_dry=None, scattering: bool = False,
+                      top_at_1: Optional[bool] = None
+                      ) -> Tuple[OpticalProps, SourcesLW]:
+        """LW: optical depths + Planck sources (reference gas_optics_int)."""
+        if not self.source_is_internal():
+            raise ValueError("rrtmgp gas optics: k-distribution is SW (external source)")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        plev = jnp.asarray(plev)
+        tlay = jnp.asarray(tlay)
+        tsfc = jnp.asarray(tsfc, play.dtype)
+        top = infer_top_at_1(play, top_at_1)
+        props, coeffs = self._compute_taus(play, plev, tlay, gas_concs,
+                                           col_dry, top, scattering)
+        tlev_w = (jnp.asarray(tlev) if tlev is not None
+                  else self.interp_tlev(tlay, play, plev))
+        sfc, lay, lev, jac = planck_sources(
+            coeffs, pfracin=kd.planck_frac, totplnk=kd.totplnk,
+            totplnk_delta=kd.totplnk_delta, temp_ref_min=kd.temp_ref_min,
+            gpoint_flavor=kd.gpoint_flavor, gpt2band=kd.grid.gpt2band,
+            ngpt=kd.ngpt, tlay=tlay, tlev=tlev_w, tsfc=tsfc, top_at_1=top)
+        sources = SourcesLW(lay_source=lay, lev_source=lev, sfc_source=sfc,
+                            sfc_source_jac=jac, grid=self.grid)
+        return props, sources
+
+    def gas_optics_sw(self, play, plev, tlay, gas_concs: GasConcs,
+                      *, col_dry=None, scattering: bool = True,
+                      top_at_1: Optional[bool] = None
+                      ) -> Tuple[OpticalProps, jax.Array]:
+        """SW: optical depths + TOA solar source (reference gas_optics_ext)."""
+        if not self.source_is_external():
+            raise ValueError("rrtmgp gas optics: k-distribution is LW (internal source)")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        top = infer_top_at_1(play, top_at_1)
+        props, _ = self._compute_taus(play, jnp.asarray(plev),
+                                      jnp.asarray(tlay), gas_concs, col_dry,
+                                      top, scattering)
+        ncol = play.shape[0]
+        toa = jnp.broadcast_to(kd.solar_source[None, :], (ncol, kd.ngpt))
+        return props, toa
+
+    # ------------------------------------------------------------------
+    def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:
+        """Per-(col, gpt) optimal LW secants from total-column transmittance
+        (reference compute_optimal_angles :1503-1562; Hogan fits)."""
+        kd = self.kdist
+        if kd.optimal_angle_fit is None:
+            raise ValueError("compute_optimal_angles: no fit coefficients loaded")
+        if not kd.grid.gpoints_are_equal(props.grid):
+            raise ValueError("compute_optimal_angles: spectral discretization mismatch")
+        trans_total = jnp.exp(-jnp.sum(props.tau, axis=1))     # (ncol, ngpt)
+        fit = jnp.asarray(kd.optimal_angle_fit, props.tau.dtype)
+        band = kd.grid.gpt2band
+        return fit[0, band][None, :] * trans_total + fit[1, band][None, :]
