@@ -1,0 +1,190 @@
+"""MERRA2/GOCART aerosol optics.
+
+TPU-native equivalent of reference ``ty_aerosol_optics_rrtmgp_merra``
+(rrtmgp/frontend/mo_aerosol_optics_rrtmgp_merra.F90): per-cell aerosol
+*type* dispatch over 7 GOCART species with size-bin selection (dust/salt)
+and relative-humidity interpolation (hydrophilic species). The reference's
+per-cell select/case becomes: evaluate each species' (tau, taussa, taussag)
+branch vectorized — each is a cheap masked gather — and combine with
+``jnp.select`` on the type field. Tables are stored value-major
+(ext/ssa/g = axis 0) exactly as the data files provide.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
+from ...spectral import SpectralGrid
+
+__all__ = ["AerosolOpticsMERRA", "MERRA_AERO_NONE", "MERRA_AERO_DUST",
+           "MERRA_AERO_SALT", "MERRA_AERO_SULF", "MERRA_AERO_BCAR_RH",
+           "MERRA_AERO_BCAR", "MERRA_AERO_OCAR_RH", "MERRA_AERO_OCAR",
+           "MERRA_NTYPE", "get_relhum"]
+
+# aerosol type codes (reference :43-52)
+MERRA_NTYPE = 7
+MERRA_AERO_NONE = 0
+MERRA_AERO_DUST = 1
+MERRA_AERO_SALT = 2
+MERRA_AERO_SULF = 3
+MERRA_AERO_BCAR_RH = 4
+MERRA_AERO_BCAR = 5
+MERRA_AERO_OCAR_RH = 6
+MERRA_AERO_OCAR = 7
+
+_EXT, _SSA, _G = 0, 1, 2
+
+
+@dataclasses.dataclass(frozen=True)
+class AerosolOpticsMERRA:
+    grid: SpectralGrid
+    bin_lims: np.ndarray        # (2, nbin) size-bin limits [microns], static
+    aero_rh: np.ndarray         # (nrh,) RH grid, static
+    dust_tbl: jax.Array         # (3, nbin, nbnd)        [ext/ssa/g, ...]
+    salt_tbl: jax.Array         # (3, nrh, nbin, nbnd)
+    sulf_tbl: jax.Array         # (3, nrh, nbnd)
+    bcar_tbl: jax.Array         # (3, nbnd)
+    bcar_rh_tbl: jax.Array      # (3, nrh, nbnd)
+    ocar_tbl: jax.Array         # (3, nbnd)
+    ocar_rh_tbl: jax.Array      # (3, nrh, nbnd)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def load(band_lims_wvn, merra_aero_bin_lims, aero_rh,
+             aero_dust_tbl, aero_salt_tbl, aero_sulf_tbl,
+             aero_bcar_tbl, aero_bcar_rh_tbl,
+             aero_ocar_tbl, aero_ocar_rh_tbl,
+             dtype=jnp.float32) -> "AerosolOpticsMERRA":
+        """Build from LUTs (reference load_lut :96-165). Table layouts
+        follow the reference's in-memory order: dust (nval, nbin, nbnd),
+        salt (nrh, nval, nbin, nbnd), sulfate/bcar_rh/ocar_rh
+        (nrh, nval, nbnd), bcar/ocar (nval, nbnd) with nval = 3 = ext/ssa/g.
+        Stored here value-major."""
+        grid = SpectralGrid.from_arrays(band_lims_wvn)
+
+        def vm(a, val_axis):
+            return jnp.asarray(np.moveaxis(np.asarray(a), val_axis, 0), dtype)
+
+        return AerosolOpticsMERRA(
+            grid=grid,
+            bin_lims=np.asarray(merra_aero_bin_lims, np.float64).reshape(2, -1),
+            aero_rh=np.asarray(aero_rh, np.float64),
+            dust_tbl=vm(aero_dust_tbl, 0),
+            salt_tbl=vm(aero_salt_tbl, 1),
+            sulf_tbl=vm(aero_sulf_tbl, 1),
+            bcar_tbl=vm(aero_bcar_tbl, 0),
+            bcar_rh_tbl=vm(aero_bcar_rh_tbl, 1),
+            ocar_tbl=vm(aero_ocar_tbl, 0),
+            ocar_rh_tbl=vm(aero_ocar_rh_tbl, 1))
+
+    @property
+    def nbin(self): return self.bin_lims.shape[1]
+    @property
+    def nrh(self): return self.aero_rh.shape[0]
+    @property
+    def nbnd(self): return self.grid.nband
+
+    # ------------------------------------------------------------------
+    def aerosol_optics(self, aero_type, aero_size, aero_mass, relhum, *,
+                       scattering: bool = True,
+                       top_at_1: bool = True) -> OpticalProps:
+        """Aerosol optical properties by band (reference aerosol_optics
+        :233-430). aero_type: (ncol, nlay) int codes; aero_size [microns];
+        aero_mass [kg/m2]; relhum in [0, 1]."""
+        atype = jnp.asarray(aero_type, jnp.int32)
+        size = jnp.asarray(aero_size)
+        mass = jnp.asarray(aero_mass, size.dtype)
+        rh = jnp.asarray(relhum, size.dtype)
+        dtype = size.dtype
+        nbnd = self.nbnd
+
+        # --- size bin (last bin whose [lo, hi] contains size; ref :472-477) ---
+        lims = self.bin_lims
+        ibin = jnp.zeros(atype.shape, jnp.int32)
+        for i in range(self.nbin):
+            inbin = (size >= lims[0, i]) & (size <= lims[1, i])
+            ibin = jnp.where(inbin, i, ibin)
+
+        # --- RH interpolation indices (ref :481-494) ---
+        rh_grid = jnp.asarray(self.aero_rh, dtype)
+        # irh2 = first grid point >= rh (1 past while-loop); count grid < rh
+        nbelow = jnp.sum(rh[..., None] > rh_grid[None, None, :], axis=-1)
+        irh1 = jnp.where(nbelow == 0, 0, jnp.clip(nbelow, 1, self.nrh) - 1)
+        irh2 = jnp.clip(nbelow, 0, self.nrh - 1)
+        drh0 = jnp.take(rh_grid, irh2) - jnp.take(rh_grid, irh1)
+        drh1 = rh - jnp.take(rh_grid, irh1)
+        rdrh = jnp.where(irh1 == irh2, 0.0,
+                         drh1 / jnp.where(irh1 == irh2, 1.0, drh0))
+
+        # --- per-species (ext, ssa, g) fields, each (ncol, nlay, nbnd) ---
+        def dust():
+            t = jnp.take(self.dust_tbl, ibin, axis=1)   # (3, ncol, nlay, nbnd)
+            return t[_EXT], t[_SSA], t[_G]
+
+        def salt():
+            # (3, nrh, nbin, nbnd) -> select bin -> rh interp
+            t = jnp.take(self.salt_tbl, ibin, axis=2)   # (3, nrh, ncol, nlay, nbnd)
+            t = jnp.moveaxis(t, 1, -2)                  # (3, ncol, nlay, nrh, nbnd)
+            lo = jnp.take_along_axis(t, irh1[None, :, :, None, None], axis=3)
+            hi = jnp.take_along_axis(t, irh2[None, :, :, None, None], axis=3)
+            v = (lo + rdrh[None, :, :, None, None] * (hi - lo))[:, :, :, 0, :]
+            return v[_EXT], v[_SSA], v[_G]
+
+        def rh_species(tbl):
+            # tbl: (3, nrh, nbnd): interp along rh per cell
+            lo = jnp.take(tbl, irh1, axis=1)            # (3, ncol, nlay, nbnd)
+            hi = jnp.take(tbl, irh2, axis=1)
+            v = lo + rdrh[None, :, :, None] * (hi - lo)
+            return v[_EXT], v[_SSA], v[_G]
+
+        def plain_species(tbl):
+            # tbl: (3, nbnd): broadcast
+            shp = atype.shape + (nbnd,)
+            return (jnp.broadcast_to(tbl[_EXT], shp),
+                    jnp.broadcast_to(tbl[_SSA], shp),
+                    jnp.broadcast_to(tbl[_G], shp))
+
+        species = {
+            MERRA_AERO_DUST: dust(),
+            MERRA_AERO_SALT: salt(),
+            MERRA_AERO_SULF: rh_species(self.sulf_tbl),
+            MERRA_AERO_BCAR_RH: rh_species(self.bcar_rh_tbl),
+            MERRA_AERO_BCAR: plain_species(self.bcar_tbl),
+            MERRA_AERO_OCAR_RH: rh_species(self.ocar_rh_tbl),
+            MERRA_AERO_OCAR: plain_species(self.ocar_tbl),
+        }
+        zero = jnp.zeros(atype.shape + (nbnd,), dtype)
+        t3 = atype[..., None]
+        ext = jnp.select([t3 == k for k in species], [v[0] for v in species.values()], zero)
+        ssa = jnp.select([t3 == k for k in species], [v[1] for v in species.values()], zero)
+        g = jnp.select([t3 == k for k in species], [v[2] for v in species.values()], zero)
+
+        tau = mass[..., None] * ext
+        taussa = tau * ssa
+        taussag = taussa * g
+        if not scattering:
+            return OpticalProps1scl(tau=tau - taussa, grid=self.grid,
+                                    top_at_1=top_at_1)
+        eps = jnp.finfo(dtype).eps
+        return OpticalProps2str(
+            tau=tau,
+            ssa=taussa / jnp.maximum(eps, tau),
+            g=taussag / jnp.maximum(eps, taussa),
+            grid=self.grid, top_at_1=top_at_1)
+
+
+def get_relhum(play, tlay, vmr_h2o):
+    """Layer relative humidity [0-1] from pressure/temperature/vmr
+    (reference examples/all-sky/rrtmgp_allsky.F90:744-786 get_relhum)."""
+    from ... import constants
+    mwd = constants.m_h2o / constants.m_dry
+    t_ref = 273.16
+    mmr = vmr_h2o * mwd
+    q = mmr / (1.0 + mmr)
+    q = jnp.maximum(1.0e-7, q)
+    es = jnp.exp(17.67 * (tlay - t_ref) / (tlay - 29.65))
+    return 0.01 * (0.263 * play * q) / es

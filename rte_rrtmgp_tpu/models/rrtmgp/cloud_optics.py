@@ -1,0 +1,155 @@
+"""RRTMGP cloud optics: particle-size lookup tables.
+
+TPU-native equivalent of reference ``ty_cloud_optics_rrtmgp``
+(rrtmgp/frontend/mo_cloud_optics_rrtmgp.F90:35-487) and its kernel
+``compute_cld_from_table`` (rrtmgp/kernels/mo_cloud_optics_rrtmgp_kernels.
+F90:24-65): linear interpolation in particle size of ext/ssa/asy tables,
+tau = water_path * ext, liquid and ice combined via the (tau, tau*ssa,
+tau*ssa*g) accumulation identity. Vectorized as masked row gathers over the
+(ncol, nlay) grid; the spectral axis rides along as lanes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
+from ...spectral import SpectralGrid
+
+__all__ = ["CloudOpticsRRTMGP"]
+
+
+def _interp_size(table, idx0, fint, mask, wp):
+    """tau-style table interp: wp * (tab[i] + fint (tab[i+1]-tab[i])).
+    table: (nsize, ngpt); idx0/fint/mask/wp: (ncol, nlay)."""
+    lo = jnp.take(table, idx0, axis=0)        # (ncol, nlay, ngpt)
+    hi = jnp.take(table, idx0 + 1, axis=0)
+    return (lo + fint[..., None] * (hi - lo))
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudOpticsRRTMGP:
+    grid: SpectralGrid
+    radliq_lwr: float
+    radliq_upr: float
+    diamice_lwr: float
+    diamice_upr: float
+    extliq: jax.Array   # (nsize_liq, ngpt)
+    ssaliq: jax.Array
+    asyliq: jax.Array
+    extice: jax.Array   # (nrghice, nsize_ice, ngpt)
+    ssaice: jax.Array
+    asyice: jax.Array
+    icergh: int = 1     # ice roughness category, 1-based (reference icergh)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def load(band_lims_wvn, radliq_lwr, radliq_upr, diamice_lwr, diamice_upr,
+             extliq, ssaliq, asyliq, extice, ssaice, asyice,
+             band_lims_gpt=None, dtype=jnp.float32) -> "CloudOpticsRRTMGP":
+        """Build from tables (reference ``load``, mo_cloud_optics_rrtmgp.F90:
+        77-214). extice/ssaice/asyice: (nsize_ice, ngpt, nrghice) file order,
+        stored roughness-major."""
+        grid = SpectralGrid.from_arrays(band_lims_wvn, band_lims_gpt)
+        ice = [np.moveaxis(np.asarray(a), -1, 0) for a in (extice, ssaice, asyice)]
+        return CloudOpticsRRTMGP(
+            grid=grid,
+            radliq_lwr=float(radliq_lwr), radliq_upr=float(radliq_upr),
+            diamice_lwr=float(diamice_lwr), diamice_upr=float(diamice_upr),
+            extliq=jnp.asarray(extliq, dtype), ssaliq=jnp.asarray(ssaliq, dtype),
+            asyliq=jnp.asarray(asyliq, dtype),
+            extice=jnp.asarray(ice[0], dtype), ssaice=jnp.asarray(ice[1], dtype),
+            asyice=jnp.asarray(ice[2], dtype))
+
+    # ------------------------------------------------------------------
+    @property
+    def liq_nsteps(self): return self.extliq.shape[0]
+    @property
+    def ice_nsteps(self): return self.extice.shape[1]
+    @property
+    def liq_step_size(self):
+        return (self.radliq_upr - self.radliq_lwr) / (self.liq_nsteps - 1)
+    @property
+    def ice_step_size(self):
+        return (self.diamice_upr - self.diamice_lwr) / (self.ice_nsteps - 1)
+
+    def num_ice_roughness_types(self) -> int:
+        return self.extice.shape[0]
+
+    def set_ice_roughness(self, icergh: int) -> "CloudOpticsRRTMGP":
+        """Select the Yang-2013 ice roughness category (reference
+        set_ice_roughness :437-450)."""
+        if not (1 <= icergh <= self.num_ice_roughness_types()):
+            raise ValueError("cloud optics: ice roughness flag out of bounds")
+        return dataclasses.replace(self, icergh=icergh)
+
+    # ------------------------------------------------------------------
+    def _phase_props(self, wp, re, mask, tables, nsteps, step, offset):
+        """(tau, taussa, taussag) for one phase (reference
+        compute_cld_from_table)."""
+        dtype = wp.dtype
+        pos = (re - offset) / step
+        idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nsteps - 2)
+        fint = pos - idx0.astype(dtype)
+        maskf = mask.astype(dtype)[..., None]
+        ext, ssa, asy = tables
+        t = (wp[..., None] * _interp_size(ext, idx0, fint, mask, wp)) * maskf
+        ts = t * _interp_size(ssa, idx0, fint, mask, wp)
+        tsg = ts * _interp_size(asy, idx0, fint, mask, wp)
+        return t, ts, tsg
+
+    def cloud_optics(self, clwp, ciwp, reliq, dgice, *,
+                     scattering: bool = True,
+                     top_at_1: bool = True) -> OpticalProps:
+        """Cloud optical properties from water paths [g/m2] and particle
+        sizes [microns] (reference ``cloud_optics`` :256-431).
+
+        Returns 2-stream (tau, ssa, g) or absorption-only (1scl) props on
+        this object's (band) spectral grid.
+        """
+        clwp = jnp.asarray(clwp)
+        ciwp = jnp.asarray(ciwp, clwp.dtype)
+        reliq = jnp.asarray(reliq, clwp.dtype)
+        dgice = jnp.asarray(dgice, clwp.dtype)
+        liqmsk = clwp > 0.0
+        icemsk = ciwp > 0.0
+
+        icergh0 = self.icergh - 1
+        ltau, ltaussa, ltaussag = self._phase_props(
+            clwp, reliq, liqmsk, (self.extliq, self.ssaliq, self.asyliq),
+            self.liq_nsteps, self.liq_step_size, self.radliq_lwr)
+        itau, itaussa, itaussag = self._phase_props(
+            ciwp, dgice, icemsk,
+            (self.extice[icergh0], self.ssaice[icergh0], self.asyice[icergh0]),
+            self.ice_nsteps, self.ice_step_size, self.diamice_lwr)
+
+        if not scattering:
+            # absorption-only: (1-ssa) tau = tau - taussa
+            tau = (ltau - ltaussa) + (itau - itaussa)
+            return OpticalProps1scl(tau=tau, grid=self.grid, top_at_1=top_at_1)
+        eps = jnp.finfo(clwp.dtype).eps
+        tau = ltau + itau
+        taussa = ltaussa + itaussa
+        g = (ltaussag + itaussag) / jnp.maximum(eps, taussa)
+        ssa = taussa / jnp.maximum(eps, tau)
+        return OpticalProps2str(tau=tau, ssa=ssa, g=g, grid=self.grid,
+                                top_at_1=top_at_1)
+
+    def validate_inputs(self, clwp, ciwp, reliq, dgice) -> None:
+        """Eager bounds checks (reference :346-353)."""
+        clwp = np.asarray(clwp)
+        ciwp = np.asarray(ciwp)
+        reliq = np.asarray(reliq)
+        dgice = np.asarray(dgice)
+        liq = clwp > 0
+        ice = ciwp > 0
+        if np.any((reliq[liq] < self.radliq_lwr) | (reliq[liq] > self.radliq_upr)):
+            raise ValueError("cloud optics: liquid effective radius is out of bounds")
+        if np.any((dgice[ice] < self.diamice_lwr) | (dgice[ice] > self.diamice_upr)):
+            raise ValueError("cloud optics: ice effective diameter is out of bounds")
+        if np.any(clwp[liq] < 0) or np.any(ciwp[ice] < 0):
+            raise ValueError("cloud optics: negative water path")
