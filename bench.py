@@ -1,0 +1,58 @@
+"""Benchmark: all-sky gas optics + LW/SW solves, columns/s/chip.
+
+Mirrors the reference's benchmark harness (examples/all-sky/
+rrtmgp_allsky.F90:329-419: timed iteration loop reporting per-column time)
+at production spectral dimensions (LW 256 gpt / SW 224 gpt, 14 temps,
+59 pressures). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY.md section 6), so
+vs_baseline is reported against a nominal reference-class GPU throughput
+anchor of 1e6 columns/s for the full LW+SW all-sky step.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ncol = int(os.environ.get("BENCH_NCOL", "4096"))
+    nlay = int(os.environ.get("BENCH_NLAY", "72"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+
+    from __graft_entry__ import _build
+
+    step, inputs = _build(ncol=ncol, nlay=nlay, ngpt_lw=256, nbnd_lw=16,
+                          ngpt_sw=224, nbnd_sw=14, ntemp=14, npres=59)
+    step_jit = jax.jit(step)
+
+    # warmup / compile
+    out = jax.block_until_ready(step_jit(inputs))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(step_jit(inputs))
+        times.append(time.perf_counter() - t0)
+    t_min = min(times)
+    cols_per_s = ncol / t_min
+
+    result = {
+        "metric": "columns/s/chip (all-sky gas optics + LW noscat + SW 2-stream, 256/224 gpt)",
+        "value": round(cols_per_s, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(cols_per_s / 1.0e6, 4),
+    }
+    print(json.dumps(result))
+    print(f"# ncol={ncol} nlay={nlay} reps={reps} t_min={t_min*1e3:.2f} ms "
+          f"time_per_col={t_min/ncol*1e6:.3f} us device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""The all-sky problem: the reference's benchmark configuration.
+
+Re-implements examples/all-sky/rrtmgp_allsky.F90 as pure functions:
+analytic RCE-like profiles, synthetic clouds (2/3 of columns, troposphere
+only; reference compute_clouds :590-662) and MERRA aerosols (sulfate in
+the lower stratosphere / dust in the lower troposphere in half the
+columns; compute_aerosols :666-739), then the full pipeline per step:
+
+  cloud optics -> aerosol optics -> gas optics -> increment
+  -> LW rescaled no-scattering solve and/or SW two-stream solve.
+
+``allsky_step_lw`` / ``allsky_step_sw`` are the flagship jit targets for
+the benchmark and the multi-chip dry run.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fluxes import Fluxes
+from ..gas_concs import GasConcs
+from ..optical_props import delta_scale, increment
+from ..rte import rte_lw, rte_sw
+from ..models.rrtmgp.aerosol_optics import (MERRA_AERO_DUST, MERRA_AERO_SULF,
+                                            get_relhum)
+from ..utils.profiles import allsky_profiles
+
+__all__ = ["AllSkyInputs", "make_allsky_inputs", "allsky_step_lw",
+           "allsky_step_sw"]
+
+
+class AllSkyInputs(NamedTuple):
+    play: jax.Array       # (ncol, nlay)
+    plev: jax.Array       # (ncol, nlay+1)
+    tlay: jax.Array
+    tlev: jax.Array
+    tsfc: jax.Array       # (ncol,)
+    gas_concs: GasConcs
+    lwp: jax.Array        # (ncol, nlay) cloud liquid water path [g/m2]
+    iwp: jax.Array
+    rel: jax.Array        # liquid effective radius [microns]
+    dei: jax.Array        # ice effective diameter [microns]
+    aero_type: jax.Array  # (ncol, nlay) int
+    aero_size: jax.Array
+    aero_mass: jax.Array
+    relhum: jax.Array
+    sfc_emis: jax.Array   # (ncol, 1)
+    sfc_alb: jax.Array    # (ncol, 1)
+    mu0: jax.Array        # (ncol,)
+
+
+def make_allsky_inputs(ncol: int, nlay: int, *, cloud_optics=None,
+                       dtype=jnp.float32) -> AllSkyInputs:
+    """Build the all-sky problem (reference rrtmgp_allsky.F90 main program:
+    analytic profiles :496-587, clouds :590-662, aerosols :666-739,
+    emissivity 0.98 / albedo 0.06 / mu0 0.86)."""
+    play, plev, tlay, tlev, gas = allsky_profiles(ncol, nlay)
+
+    # clouds: troposphere (100-900 hPa), 2 of every 3 columns
+    icol = np.arange(ncol)[:, None] + 1                    # 1-based like ref
+    cloud_mask = (play > 100.0e2) & (play < 900.0e2) & ((icol % 3) != 0)
+    lwp = np.where(cloud_mask & (tlay > 263.0), 10.0, 0.0)
+    iwp = np.where(cloud_mask & (tlay < 273.0), 10.0, 0.0)
+    if cloud_optics is not None:
+        rel_val = 0.5 * (cloud_optics.radliq_lwr + cloud_optics.radliq_upr)
+        dei_val = 0.5 * (cloud_optics.diamice_lwr + cloud_optics.diamice_upr)
+    else:
+        rel_val, dei_val = 10.0, 20.0  # SSM: arbitrary (reference :640-641)
+    rel = np.where(lwp > 0.0, rel_val, 0.0)
+    dei = np.where(iwp > 0.0, dei_val, 0.0)
+
+    # aerosols: sulfate 50-100 hPa, dust 700-900 hPa, odd columns (1-based)
+    is_even_col = (icol % 2) != 0
+    is_sulf = (play > 50.0e2) & (play < 100.0e2) & is_even_col
+    is_dust = (play > 700.0e2) & (play < 900.0e2) & is_even_col
+    aero_type = np.where(is_sulf, MERRA_AERO_SULF,
+                         np.where(is_dust, MERRA_AERO_DUST, 0))
+    aero_size = np.where(is_sulf, 0.2, np.where(is_dust, 0.5, 0.0))
+    aero_mass = np.where(is_sulf, 1.0e-6, np.where(is_dust, 3.0e-5, 0.0))
+    vmr_h2o = np.asarray(gas.get_vmr("h2o", ncol, nlay))
+    relhum = np.asarray(get_relhum(jnp.asarray(play), jnp.asarray(tlay),
+                                   jnp.asarray(vmr_h2o)))
+
+    cast = lambda x: jnp.asarray(x, dtype)
+    gas_cast = GasConcs(names=gas.names,
+                        values=tuple(cast(val) for val in gas.values))
+    return AllSkyInputs(
+        play=cast(play), plev=cast(plev), tlay=cast(tlay), tlev=cast(tlev),
+        tsfc=cast(tlay[:, -1] * 0 + 300.0),
+        gas_concs=gas_cast,
+        lwp=cast(lwp), iwp=cast(iwp), rel=cast(rel), dei=cast(dei),
+        aero_type=jnp.asarray(aero_type, jnp.int32),
+        aero_size=cast(aero_size), aero_mass=cast(aero_mass),
+        relhum=cast(np.clip(relhum, 0.0, 1.0)),
+        sfc_emis=cast(np.full((ncol, 1), 0.98)),
+        sfc_alb=cast(np.full((ncol, 1), 0.06)),
+        mu0=cast(np.full(ncol, 0.86)))
+
+
+def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
+                   aerosol_optics=None, use_clouds=True,
+                   use_aerosols=False) -> Fluxes:
+    """One LW all-sky step (reference timed loop :368-380): cloud optics
+    (absorption-only), aerosol optics, gas optics + Planck sources,
+    increments, rescaled no-scattering solve with broadband output."""
+    props, sources = gas_optics.gas_optics_lw(
+        inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
+        tlev=inputs.tlev, top_at_1=True)
+    if use_clouds:
+        if cloud_optics is not None:
+            clouds = cloud_optics.cloud_optics(inputs.lwp, inputs.iwp,
+                                               inputs.rel, inputs.dei,
+                                               scattering=False)
+        else:  # SSM gray clouds
+            clouds = gas_optics.cloud_optics(inputs.lwp * 1e-3,
+                                             inputs.iwp * 1e-3,
+                                             scattering=False)
+        props = increment(props, clouds)
+    if use_aerosols and aerosol_optics is not None:
+        aer = aerosol_optics.aerosol_optics(inputs.aero_type, inputs.aero_size,
+                                            inputs.aero_mass, inputs.relhum,
+                                            scattering=False)
+        props = increment(props, aer)
+    return rte_lw(props, sources, inputs.sfc_emis)
+
+
+def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
+                   aerosol_optics=None, use_clouds=True,
+                   use_aerosols=False) -> Fluxes:
+    """One SW all-sky step (reference :388-404): two-stream clouds are
+    delta-scaled before incrementing the gas optics."""
+    props, toa = gas_optics.gas_optics_sw(
+        inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs, top_at_1=True)
+    if use_clouds:
+        if cloud_optics is not None:
+            clouds = cloud_optics.cloud_optics(inputs.lwp, inputs.iwp,
+                                               inputs.rel, inputs.dei)
+        else:
+            clouds = gas_optics.cloud_optics(inputs.lwp * 1e-3,
+                                             inputs.iwp * 1e-3)
+        props = increment(props, delta_scale(clouds))
+    if use_aerosols and aerosol_optics is not None:
+        aer = aerosol_optics.aerosol_optics(inputs.aero_type, inputs.aero_size,
+                                            inputs.aero_mass, inputs.relhum)
+        props = increment(props, delta_scale(aer))
+    return rte_sw(props, inputs.mu0, toa, inputs.sfc_alb, inputs.sfc_alb)

@@ -74,7 +74,9 @@ class GasOpticsRRTMGP:
 
     def _col_gas(self, play, plev, tlay, gas_concs: GasConcs, col_dry):
         """VMR gather + column amounts (reference compute_gas_taus
-        :538-609): col_gas[..., 0] = col_dry, col_gas[..., i] = vmr_i * col_dry."""
+        :538-609): col_gas[0] = col_dry, col_gas[i] = vmr_i * col_dry.
+        Layout (ngas+1, ncol, nlay): the small gas axis leads so TPU tiled
+        layouts pad only the trailing (ncol, nlay) axes."""
         kd = self.kdist
         ncol, nlay = play.shape
         dtype = play.dtype
@@ -89,7 +91,7 @@ class GasOpticsRRTMGP:
             vmr_h2o = vmrs[idx_h2o - 1] if idx_h2o > 0 else jnp.zeros_like(play)
             col_dry = get_col_dry(vmr_h2o, plev)
         col_dry = jnp.asarray(col_dry, dtype)
-        col_gas = jnp.stack([col_dry] + [v * col_dry for v in vmrs], axis=-1)
+        col_gas = jnp.stack([col_dry] + [v * col_dry for v in vmrs], axis=0)
         return col_gas, col_dry, idx_h2o
 
     def _interp(self, play, tlay, col_gas) -> InterpCoeffs:
@@ -114,7 +116,8 @@ class GasOpticsRRTMGP:
         coeffs = self._interp(play, tlay, col_gas)
 
         tau = tau_major(coeffs, kd.kmajor,
-                        gpoint_flavor=kd.gpoint_flavor, ngpt=kd.ngpt)
+                        gpoint_flavor=kd.gpoint_flavor,
+                        band_lims_gpt=kd.grid.band_lims_gpt_array)
         for lower, mset, ktab in ((True, kd.minor_lower, kd.kminor_lower),
                                   (False, kd.minor_upper, kd.kminor_upper)):
             tau = tau_minor(
@@ -131,7 +134,8 @@ class GasOpticsRRTMGP:
         if kd.krayl is not None:
             tau_ray = tau_rayleigh(coeffs, kd.krayl,
                                    gpoint_flavor=kd.gpoint_flavor,
-                                   ngpt=kd.ngpt, col_gas=col_gas,
+                                   band_lims_gpt=kd.grid.band_lims_gpt_array,
+                                   col_gas=col_gas,
                                    col_dry=col_dry_w, idx_h2o=idx_h2o)
             # combine_abs_and_rayleigh (reference :1954-2036)
             t = tau + tau_ray
@@ -189,8 +193,10 @@ class GasOpticsRRTMGP:
         sfc, lay, lev, jac = planck_sources(
             coeffs, pfracin=kd.planck_frac, totplnk=kd.totplnk,
             totplnk_delta=kd.totplnk_delta, temp_ref_min=kd.temp_ref_min,
-            gpoint_flavor=kd.gpoint_flavor, gpt2band=kd.grid.gpt2band,
-            ngpt=kd.ngpt, tlay=tlay, tlev=tlev_w, tsfc=tsfc, top_at_1=top)
+            gpoint_flavor=kd.gpoint_flavor,
+            band_lims_gpt=kd.grid.band_lims_gpt_array,
+            gpt2band=kd.grid.gpt2band,
+            tlay=tlay, tlev=tlev_w, tsfc=tsfc, top_at_1=top)
         sources = SourcesLW(lay_source=lay, lev_source=lev, sfc_source=sfc,
                             sfc_source_jac=jac, grid=self.grid)
         return props, sources

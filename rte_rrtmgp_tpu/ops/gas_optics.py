@@ -15,19 +15,25 @@ Design notes (TPU-first):
     device-resident (HBM-replicated) tables. The 2x2x2 major interpolation
     is an 8-corner loop of (ncol, nlay, ngpt) gathers - bandwidth-bound,
     no scalar loops, no ragged control flow.
-  * The g-point -> flavor map is *static* data, so flavor selection is a
-    compile-time gather of the per-flavor interpolation state.
-  * Minor gases are a static Python loop (unrolled under jit) over absorbers,
-    each touching only its (static) g-point window; the reference's
-    per-column layer ranges become tropopause masks (equivalent for
-    monotonic pressure profiles).
-  * Everything is pure; the k-distribution tables ride in as arrays.
+  * TPU tiled layouts pad the two minor-most dimensions (to 8x128 for f32),
+    so every multi-dim array keeps its LARGE axes trailing: per-flavor
+    interpolation state is (2[itemp], ..., nflav, ncol, nlay), never
+    (..., nflav, 2) - a trailing 2 would inflate memory 64x.
+  * The g-point -> flavor map is *static* data; per-cell flavor selection
+    is a flat gather producing (ncol, nlay, ngpt) arrays (g-points on
+    lanes).
+  * Minor gases are a static Python loop (unrolled under jit) over
+    absorbers, each touching only its (static) g-point window; the
+    reference's per-column layer ranges become tropopause masks
+    (equivalent for monotonic pressure profiles).
 
-Index/weight array conventions (this module only):
-  jtemp, fpress, ... : (ncol, nlay)
-  jeta, col_mix      : (ncol, nlay, nflav, 2)        last axis = itemp
-  fminor             : (ncol, nlay, nflav, 2, 2)     [itemp, deta]
-  fmajor             : (ncol, nlay, nflav, 2, 2, 2)  [itemp, dpress, deta]
+Array conventions (this module):
+  col_gas            : (ngas+1, ncol, nlay), dry air at index 0
+  jtemp, jpress      : (ncol, nlay) int32 (0-based lower indices)
+  tropo              : (ncol, nlay) bool, True = lower atmosphere
+  jeta, col_mix      : (2, nflav, ncol, nlay)        axis 0 = itemp
+  fminor             : (2, 2, nflav, ncol, nlay)     [itemp, deta]
+  fmajor             : (2, 2, 2, nflav, ncol, nlay)  [itemp, dpress, deta]
 """
 from __future__ import annotations
 
@@ -50,15 +56,15 @@ __all__ = [
 
 
 class InterpCoeffs(NamedTuple):
-    jtemp: jax.Array      # (ncol, nlay) int32, 0-based lower temp index
+    jtemp: jax.Array      # (ncol, nlay) int32
     ftemp: jax.Array      # (ncol, nlay)
-    jpress: jax.Array     # (ncol, nlay) int32, 0-based lower press index
+    jpress: jax.Array     # (ncol, nlay) int32
     fpress: jax.Array     # (ncol, nlay)
-    tropo: jax.Array      # (ncol, nlay) bool: True = lower atmosphere
-    jeta: jax.Array       # (ncol, nlay, nflav, 2) int32 0-based
-    col_mix: jax.Array    # (ncol, nlay, nflav, 2)
-    fminor: jax.Array     # (ncol, nlay, nflav, 2, 2)
-    fmajor: jax.Array     # (ncol, nlay, nflav, 2, 2, 2)
+    tropo: jax.Array      # (ncol, nlay) bool
+    jeta: jax.Array       # (2, nflav, ncol, nlay) int32
+    col_mix: jax.Array    # (2, nflav, ncol, nlay)
+    fminor: jax.Array     # (2, 2, nflav, ncol, nlay)
+    fmajor: jax.Array     # (2, 2, 2, nflav, ncol, nlay)
 
 
 def interpolation(play, tlay, col_gas, *,
@@ -69,9 +75,9 @@ def interpolation(play, tlay, col_gas, *,
     """Temperature/pressure/eta interpolation coefficients (reference
     ``rrtmgp_interpolation``, kernels :37-170).
 
-    play/tlay: (ncol, nlay); col_gas: (ncol, nlay, ngas+1) with dry air at
-    index 0; flavor_gas1/2: (nflav,) static int arrays indexing col_gas;
-    vmr_ref: (2, ngas+1, ntemp) reference VMRs (dry air at index 0).
+    play/tlay: (ncol, nlay); col_gas: (ngas+1, ncol, nlay) with dry air at
+    index 0; flavor_gas1/2: (nflav,) static int arrays indexing col_gas
+    axis 0; vmr_ref: (2, ngas+1, ntemp) reference VMRs.
     """
     dtype = play.dtype
     ntemp = temp_ref.shape[0]
@@ -82,7 +88,7 @@ def interpolation(play, tlay, col_gas, *,
     # subexpression into the index fusion and the fraction fusion; under
     # non-bit-deterministic arithmetic (e.g. this stack's emulated float64)
     # the two copies can round to opposite sides of a grid node, pairing an
-    # index with the wrong fraction (observed: jeta=4 with feta~=1).
+    # index with the wrong fraction.
 
     # --- temperature index/fraction (reference :106-108) ---
     loctemp = jax.lax.optimization_barrier(
@@ -104,7 +110,7 @@ def interpolation(play, tlay, col_gas, *,
     tropo = play > jnp.exp(jnp.asarray(press_ref_trop_log, dtype))
 
     # --- eta per flavor and reference temperature (reference :121-168) ---
-    # Precompute vmr ratio r[itropo, flav, jtemp] = vmr1/vmr2 (static tables)
+    # Precompute vmr ratio r[itropo, flav, jtemp] = vmr1/vmr2 (static)
     vmr_ref = np.asarray(vmr_ref)
     g1 = np.asarray(flavor_gas1)
     g2 = np.asarray(flavor_gas2)
@@ -112,109 +118,119 @@ def interpolation(play, tlay, col_gas, *,
     ratio_t = jnp.asarray(ratio, dtype)
 
     tiny = jnp.finfo(dtype).tiny
-    # col_gas gathered per flavor: (ncol, nlay, nflav)
-    cg1 = col_gas[..., g1]
-    cg2 = col_gas[..., g2]
+    cg1 = col_gas[g1]                                           # (nflav, c, l)
+    cg2 = col_gas[g2]
 
-    jts = []
-    for itemp in (0, 1):
-        jt_i = jnp.clip(jtemp + itemp, 0, ntemp - 1)            # (ncol, nlay)
-        # ratio at (itropo, flav, jt_i): gather temp axis then pick tropo
-        r_lo = jnp.take(ratio_t[0], jt_i, axis=-1)              # (nflav, ncol, nlay)
+    cms, jes, fes = [], [], []
+    for it in (0, 1):
+        jt_i = jnp.clip(jtemp + it, 0, ntemp - 1)               # (c, l)
+        r_lo = jnp.take(ratio_t[0], jt_i, axis=-1)              # (nflav, c, l)
         r_hi = jnp.take(ratio_t[1], jt_i, axis=-1)
-        r = jnp.where(tropo[None], r_lo, r_hi)                  # (nflav, ncol, nlay)
-        jts.append(jnp.moveaxis(r, 0, -1))                      # (ncol, nlay, nflav)
-    ratio_eta_half = jnp.stack(jts, axis=-1)                    # (..., nflav, 2)
+        r = jnp.where(tropo[None], r_lo, r_hi)
+        cm = cg1 + r * cg2                                      # (nflav, c, l)
+        eta = jnp.where(cm > 2.0 * tiny,
+                        cg1 / jnp.where(cm > 2.0 * tiny, cm, 1.0), 0.5)
+        loceta = jax.lax.optimization_barrier(eta * (neta - 1))
+        trunc_loceta = jax.lax.optimization_barrier(jnp.trunc(loceta))
+        jeta1 = jnp.minimum(trunc_loceta.astype(jnp.int32) + 1, neta - 1)
+        feta = loceta - trunc_loceta
+        cms.append(cm)
+        jes.append(jeta1 - 1)                                   # 0-based
+        fes.append(feta)
 
-    col_mix = cg1[..., None] + ratio_eta_half * cg2[..., None]  # (..., nflav, 2)
-    eta = jnp.where(col_mix > 2.0 * tiny, cg1[..., None] / jnp.where(
-        col_mix > 2.0 * tiny, col_mix, 1.0), 0.5)
+    col_mix = jnp.stack(cms, axis=0)                            # (2, nflav, c, l)
+    jeta = jnp.stack(jes, axis=0)
+    feta = jnp.stack(fes, axis=0)
 
-    # --- eta index/fraction and weight products (reference :152-164) ---
-    loceta = jax.lax.optimization_barrier(eta * (neta - 1))
-    trunc_loceta = jax.lax.optimization_barrier(jnp.trunc(loceta))
-    jeta1 = jnp.minimum(trunc_loceta.astype(jnp.int32) + 1, neta - 1)  # 1-based
-    feta = loceta - trunc_loceta
-    jeta = jeta1 - 1                                             # 0-based
-
-    # ftemp_term = 1-ftemp for itemp=0, ftemp for itemp=1
-    ft = jnp.stack([1.0 - ftemp, ftemp], axis=-1)                # (..., 2)
-    ft = ft[..., None, :]                                        # (..., 1, 2) flavor bcast
-    # fminor[..., itemp, deta]
-    fminor = jnp.stack([(1.0 - feta) * ft, feta * ft], axis=-1)  # (..., nflav? ...)
-    # shapes: feta (ncol,nlay,nflav,2); ft (ncol,nlay,1,2)
-    # fminor: (ncol,nlay,nflav,2,2) with last axes [itemp, deta]
-    fp = jnp.stack([1.0 - fpress, fpress], axis=-1)              # (c, l, 2)
-    fmajor = fminor[..., :, None, :] * fp[:, :, None, None, :, None]
-    # fmajor: (ncol, nlay, nflav, 2, 2, 2) = [itemp, dpress, deta]
+    # --- weight products (reference :156-164) ---
+    ft = jnp.stack([1.0 - ftemp, ftemp], axis=0)[:, None]       # (2, 1, c, l)
+    fminor = jnp.stack([(1.0 - feta) * ft, feta * ft], axis=1)  # (2, 2, nflav, c, l)
+    fp = jnp.stack([1.0 - fpress, fpress], axis=0)              # (2, c, l)
+    fmajor = fminor[:, None] * fp[None, :, None, None]          # (2, 2, 2, nflav, c, l)
     return InterpCoeffs(jtemp=jtemp, ftemp=ftemp, jpress=jpress, fpress=fpress,
                         tropo=tropo, jeta=jeta, col_mix=col_mix,
                         fminor=fminor, fmajor=fmajor)
 
 
-def _gather_table_3d(table_flat, rows, gpt_idx, ngpt_total):
-    """table_flat: (nrows*ngpt,) flattened (ntemp, neta, npres+1, ngpt) table;
-    rows/gpt_idx: (ncol, nlay, ngpt) int32. Returns table[rows, gpt]."""
-    return jnp.take(table_flat, rows * ngpt_total + gpt_idx)
+def _band_flavor_state(coeffs: InterpCoeffs, it: int, flav_lo: int,
+                       flav_hi: int, need_col_mix: bool):
+    """Per-cell jeta (and col_mix) for one band at one reference
+    temperature: the band's flavor is static per atmosphere, so this is a
+    2-way select, not a gather."""
+    if flav_lo == flav_hi:
+        je = coeffs.jeta[it, flav_lo]
+        cm = coeffs.col_mix[it, flav_lo] if need_col_mix else None
+    else:
+        je = jnp.where(coeffs.tropo, coeffs.jeta[it, flav_lo],
+                       coeffs.jeta[it, flav_hi])
+        cm = (jnp.where(coeffs.tropo, coeffs.col_mix[it, flav_lo],
+                        coeffs.col_mix[it, flav_hi])
+              if need_col_mix else None)
+    return je, cm
 
 
-def _select_flavor(arr, flav_idx):
-    """arr: (ncol, nlay, nflav, ...); flav_idx: (ncol, nlay, ngpt) int32.
-    Returns (ncol, nlay, ngpt, ...)."""
-    extra = arr.ndim - 3
-    idx = flav_idx.reshape(flav_idx.shape + (1,) * extra)
-    idx = jnp.broadcast_to(idx, flav_idx.shape + arr.shape[3:])
-    return jnp.take_along_axis(arr, idx, axis=2)
+def _band_weight(coeffs: InterpCoeffs, it: int, dp: int, de: int,
+                 flav_lo: int, flav_hi: int):
+    if flav_lo == flav_hi:
+        return coeffs.fmajor[it, dp, de, flav_lo]
+    return jnp.where(coeffs.tropo, coeffs.fmajor[it, dp, de, flav_lo],
+                     coeffs.fmajor[it, dp, de, flav_hi])
 
 
-def tau_major(coeffs: InterpCoeffs, kmajor, *, gpoint_flavor, ngpt: int):
+def tau_major(coeffs: InterpCoeffs, kmajor, *, gpoint_flavor, band_lims_gpt,
+              scale_by_col_mix: bool = True):
     """Major-gas optical depth (reference gas_optical_depths_major /
     interpolate3D_byflav, kernels :345-396, :765-803).
 
     kmajor: (ntemp, neta, npres+1, ngpt) device table.
-    gpoint_flavor: static (2, ngpt) 0-based flavor per (itropo, gpt).
-    Returns tau (ncol, nlay, ngpt).
+    gpoint_flavor: static (2, ngpt) 0-based flavor per (itropo, gpt);
+    band_lims_gpt: static (nbnd, 2) 1-based inclusive g-point limits.
+
+    TPU structure: every g-point in a band shares the same flavor and
+    therefore the same 8 interpolation corners, so the lookup is a *row*
+    gather — per (col, lay) pull contiguous rows of gpts-per-band values
+    from the band's table slice. This is ~(gpts per band)x fewer gather
+    descriptors than an elementwise gather and keeps g-points on lanes.
+    With ``scale_by_col_mix=False`` computes the unit-scaled interpolation
+    (the Planck-fraction variant). Returns (ncol, nlay, ngpt).
     """
-    dtype = kmajor.dtype
-    ntemp, neta, npresp1, _ = kmajor.shape
-    k_flat = kmajor.reshape(-1)
+    ntemp, neta, npresp1, ngpt = kmajor.shape
+    k2 = kmajor.reshape(-1, ngpt)  # row = (jt*neta + je)*npresp1 + jp
+    gflav = np.asarray(gpoint_flavor)
+    bands = np.asarray(band_lims_gpt)
 
-    gflav = np.asarray(gpoint_flavor)                    # (2, ngpt) static
-    flav_lo = jnp.asarray(gflav[0], jnp.int32)
-    flav_hi = jnp.asarray(gflav[1], jnp.int32)
-    # per-cell flavor per gpt
-    flav = jnp.where(coeffs.tropo[..., None], flav_lo, flav_hi)  # (c,l,g)
+    jp_base = coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)     # (c, l)
 
-    # press base row: jpress + (0 lower | 1 upper) (reference jpress+itropo)
-    jp_base = coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)      # (c,l)
-    gpt_idx = jax.lax.broadcasted_iota(jnp.int32, flav.shape, 2)
-
-    jeta_sel = _select_flavor(coeffs.jeta, flav)        # (c,l,g,2)
-    cmix_sel = _select_flavor(coeffs.col_mix, flav)     # (c,l,g,2)
-    fmaj_sel = _select_flavor(coeffs.fmajor, flav)      # (c,l,g,2,2,2)
-
-    tau = jnp.zeros(flav.shape, dtype)
-    for it in range(2):
-        jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)[..., None]  # (c,l,1)
-        je_base = jeta_sel[..., it]                                # (c,l,g)
-        w_t = cmix_sel[..., it]
-        for dp in range(2):
-            jp = (jp_base + dp)[..., None]
-            for de in range(2):
-                je = jnp.clip(je_base + de, 0, neta - 1)
-                rows = (jt * neta + je) * npresp1 + jp
-                w = w_t * fmaj_sel[..., it, dp, de]
-                tau = tau + w * _gather_table_3d(k_flat, rows, gpt_idx, ngpt)
-    return tau
+    out = []
+    for b in range(bands.shape[0]):
+        g0, g1 = int(bands[b, 0]) - 1, int(bands[b, 1]) - 1
+        flav_lo, flav_hi = int(gflav[0, g0]), int(gflav[1, g0])
+        kb = k2[:, g0:g1 + 1]
+        acc = None
+        for it in range(2):
+            jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
+            je, cm = _band_flavor_state(coeffs, it, flav_lo, flav_hi,
+                                        scale_by_col_mix)
+            for dp in range(2):
+                jp = jp_base + dp
+                for de in range(2):
+                    wgt = _band_weight(coeffs, it, dp, de, flav_lo, flav_hi)
+                    if cm is not None:
+                        wgt = wgt * cm
+                    rows = (jt * neta + jnp.clip(je + de, 0, neta - 1)
+                            ) * npresp1 + jp
+                    term = wgt[..., None] * jnp.take(kb, rows, axis=0)
+                    acc = term if acc is None else acc + term
+        out.append(acc)
+    return jnp.concatenate(out, axis=-1)
 
 
-def planck_fraction(coeffs: InterpCoeffs, pfracin, *, gpoint_flavor, ngpt: int):
-    """Planck fraction: same 3-D interpolation as tau_major with unit scaling
-    (reference compute_Planck_source :619-634)."""
-    dtype = pfracin.dtype
-    ones = jnp.ones_like(coeffs.col_mix)
-    c2 = coeffs._replace(col_mix=ones)
-    return tau_major(c2, pfracin, gpoint_flavor=gpoint_flavor, ngpt=ngpt)
+def planck_fraction(coeffs: InterpCoeffs, pfracin, *, gpoint_flavor,
+                    band_lims_gpt):
+    """Planck fraction: same 3-D interpolation as tau_major with unit
+    scaling (reference compute_Planck_source :619-634)."""
+    return tau_major(coeffs, pfracin, gpoint_flavor=gpoint_flavor,
+                     band_lims_gpt=band_lims_gpt, scale_by_col_mix=False)
 
 
 def tau_minor(tau, coeffs: InterpCoeffs, kminor, *, lower: bool,
@@ -223,11 +239,11 @@ def tau_minor(tau, coeffs: InterpCoeffs, kminor, *, lower: bool,
               gpt_flavor_atm, play, tlay, col_gas, idx_h2o: int):
     """Minor-gas optical depths for one atmosphere (reference
     gas_optical_depths_minor, kernels :402-501). All per-minor metadata is
-    static (numpy/python); the loop unrolls under jit.
+    static; the loop unrolls under jit.
 
-    kminor: (ntemp, neta, nminork) device table.
-    minor_limits_gpt: (nm, 2) 0-based inclusive g-point windows.
-    gpt_flavor_atm: (ngpt,) static 0-based flavors for this atmosphere.
+    kminor: (ntemp, neta, nminork) device table; col_gas (ngas+1, c, l).
+    minor_limits_gpt: 0-based inclusive windows; gpt_flavor_atm: (ngpt,)
+    static 0-based flavors for this atmosphere.
     """
     dtype = tau.dtype
     nm = len(kminor_start)
@@ -239,70 +255,79 @@ def tau_minor(tau, coeffs: InterpCoeffs, kminor, *, lower: bool,
     mask = coeffs.tropo if lower else jnp.logical_not(coeffs.tropo)
     maskf = mask.astype(dtype)
 
-    inv_col_dry = 1.0 / col_gas[..., 0]
-    dry_fact = 1.0 / (1.0 + col_gas[..., idx_h2o] * inv_col_dry)
+    inv_col_dry = 1.0 / col_gas[0]
+    dry_fact = 1.0 / (1.0 + col_gas[idx_h2o] * inv_col_dry)
 
-    updates = []
     for m in range(nm):
         g0, g1 = int(minor_limits_gpt[m][0]), int(minor_limits_gpt[m][1])
         w = g1 - g0 + 1
         start = int(kminor_start[m])
         flav = int(gpt_flavor_atm[g0])
 
-        scaling = col_gas[..., int(idx_minor[m])]
+        scaling = col_gas[int(idx_minor[m])]
         if minor_scales_with_density[m]:
             scaling = scaling * (0.01 * play / tlay)
             isc = int(idx_minor_scaling[m])
             if isc > 0:
-                frac = col_gas[..., isc] * inv_col_dry * dry_fact
+                frac = col_gas[isc] * inv_col_dry * dry_fact
                 if scale_by_complement[m]:
                     scaling = scaling * (1.0 - frac)
                 else:
                     scaling = scaling * frac
 
         # 2x2 eta/temp interpolation over the static g-point window
-        je_f = coeffs.jeta[:, :, flav, :]      # (c,l,2)
-        fmin_f = coeffs.fminor[:, :, flav]     # (c,l,2,2) [itemp, deta]
         acc = None
         for it in range(2):
             jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
+            je_f = coeffs.jeta[it, flav]                       # (c, l)
+            fm = coeffs.fminor[it, :, flav]                    # (2, c, l)
             for de in range(2):
-                je = jnp.clip(je_f[..., it] + de, 0, neta - 1)
-                rows = jt * neta + je                    # (c,l)
+                je = jnp.clip(je_f + de, 0, neta - 1)
+                rows = jt * neta + je                          # (c, l)
                 kk = jnp.take(k2[:, start:start + w], rows, axis=0)  # (c,l,w)
-                term = fmin_f[..., it, de][..., None] * kk
+                term = fm[de][..., None] * kk
                 acc = term if acc is None else acc + term
         contrib = (scaling * maskf)[..., None] * acc
         tau = tau.at[:, :, g0:g1 + 1].add(contrib)
     return tau
 
 
-def tau_rayleigh(coeffs: InterpCoeffs, krayl, *, gpoint_flavor, ngpt: int,
+def tau_rayleigh(coeffs: InterpCoeffs, krayl, *, gpoint_flavor, band_lims_gpt,
                  col_gas, col_dry, idx_h2o: int):
     """Rayleigh scattering optical depth (reference compute_tau_rayleigh,
     kernels :506-565). krayl: (ntemp, neta, ngpt, 2) device table
-    (last axis: lower/upper atmosphere)."""
-    dtype = krayl.dtype
-    ntemp, neta, _, _ = krayl.shape
+    (last axis: lower/upper atmosphere); col_gas (ngas+1, c, l).
+    Same per-band row-gather structure as :func:`tau_major`, with the
+    atmosphere index folded into the row."""
+    ntemp, neta, ngpt, _ = krayl.shape
+    # rows = (itropo*ntemp + jt)*neta + je (constant relayout, folded by XLA)
+    k2 = jnp.moveaxis(krayl, -1, 0).reshape(-1, ngpt)
     gflav = np.asarray(gpoint_flavor)
-    flav = jnp.where(coeffs.tropo[..., None],
-                     jnp.asarray(gflav[0], jnp.int32),
-                     jnp.asarray(gflav[1], jnp.int32))            # (c,l,g)
-    itropo = jnp.where(coeffs.tropo, 0, 1)[..., None]             # (c,l,1)
-    gpt_idx = jax.lax.broadcasted_iota(jnp.int32, flav.shape, 2)
+    bands = np.asarray(band_lims_gpt)
 
-    jeta_sel = _select_flavor(coeffs.jeta, flav)                  # (c,l,g,2)
-    fmin_sel = _select_flavor(coeffs.fminor, flav)                # (c,l,g,2,2)
-
-    k_flat = krayl.reshape(-1)
-    k = jnp.zeros(flav.shape, dtype)
-    for it in range(2):
-        jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)[..., None]
-        for de in range(2):
-            je = jnp.clip(jeta_sel[..., it] + de, 0, neta - 1)
-            flat = ((jt * neta + je) * ngpt + gpt_idx) * 2 + itropo
-            k = k + fmin_sel[..., it, de] * jnp.take(k_flat, flat)
-    return k * (col_gas[..., idx_h2o] + col_dry)[..., None]
+    itropo = jnp.where(coeffs.tropo, 0, 1)
+    out = []
+    for b in range(bands.shape[0]):
+        g0, g1 = int(bands[b, 0]) - 1, int(bands[b, 1]) - 1
+        flav_lo, flav_hi = int(gflav[0, g0]), int(gflav[1, g0])
+        kb = k2[:, g0:g1 + 1]
+        acc = None
+        for it in range(2):
+            jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
+            je, _ = _band_flavor_state(coeffs, it, flav_lo, flav_hi, False)
+            for de in range(2):
+                if flav_lo == flav_hi:
+                    w = coeffs.fminor[it, de, flav_lo]
+                else:
+                    w = jnp.where(coeffs.tropo, coeffs.fminor[it, de, flav_lo],
+                                  coeffs.fminor[it, de, flav_hi])
+                rows = (itropo * ntemp + jt) * neta + jnp.clip(je + de, 0,
+                                                               neta - 1)
+                term = w[..., None] * jnp.take(kb, rows, axis=0)
+                acc = term if acc is None else acc + term
+        out.append(acc)
+    k = jnp.concatenate(out, axis=-1)
+    return k * (col_gas[idx_h2o] + col_dry)[..., None]
 
 
 def interp1d_table(val, offset, delta, table):
@@ -310,7 +335,7 @@ def interp1d_table(val, offset, delta, table):
     axis (reference interpolate1D, kernels :715-737).
     val: (...); table: (ntab, nout). Returns (..., nout)."""
     ntab = table.shape[0]
-    val0 = (val - offset) / delta
+    val0 = jax.lax.optimization_barrier((val - offset) / delta)
     frac = val0 - jnp.trunc(val0)
     idx = jnp.clip(val0.astype(jnp.int32), 0, ntab - 2)
     lo = jnp.take(table, idx, axis=0)
@@ -319,7 +344,7 @@ def interp1d_table(val, offset, delta, table):
 
 
 def planck_sources(coeffs: InterpCoeffs, *, pfracin, totplnk, totplnk_delta,
-                   temp_ref_min, gpoint_flavor, gpt2band, ngpt: int,
+                   temp_ref_min, gpoint_flavor, band_lims_gpt, gpt2band,
                    tlay, tlev, tsfc, top_at_1: bool):
     """Planck source functions (reference compute_Planck_source,
     kernels :568-710): pfrac interp, 1-D totplnk interp by temperature,
@@ -327,9 +352,8 @@ def planck_sources(coeffs: InterpCoeffs, *, pfracin, totplnk, totplnk_delta,
     1 K finite difference.
 
     Returns (sfc_src, lay_src, lev_src, sfc_src_jac)."""
-    dtype = pfracin.dtype
     pfrac = planck_fraction(coeffs, pfracin, gpoint_flavor=gpoint_flavor,
-                            ngpt=ngpt)                       # (c,l,g)
+                            band_lims_gpt=band_lims_gpt)     # (c, l, g)
     band_of_gpt = jnp.asarray(np.asarray(gpt2band), jnp.int32)
 
     def planck_bands(t):
@@ -337,21 +361,21 @@ def planck_sources(coeffs: InterpCoeffs, *, pfracin, totplnk, totplnk_delta,
 
     # surface (+1K Jacobian, reference delta_Tsurf=1)
     sfc_lay = -1 if top_at_1 else 0
-    pf_sfc = pfrac[:, sfc_lay, :]                            # (c,g)
-    pb_sfc = planck_bands(tsfc)                              # (c,nbnd)
+    pf_sfc = pfrac[:, sfc_lay, :]                            # (c, g)
+    pb_sfc = planck_bands(tsfc)                              # (c, nbnd)
     pb_sfc1 = planck_bands(tsfc + 1.0)
     sfc_src = pf_sfc * pb_sfc[:, band_of_gpt]
     sfc_src_jac = pf_sfc * (pb_sfc1 - pb_sfc)[:, band_of_gpt]
 
     # layers
-    pb_lay = planck_bands(tlay)                              # (c,l,nbnd)
+    pb_lay = planck_bands(tlay)                              # (c, l, nbnd)
     lay_src = pfrac * pb_lay[..., band_of_gpt]
 
     # levels: geometric mean of adjacent layers' pfrac in the interior
     # (reference :695-706); end levels use the adjacent layer's pfrac
-    pf_in = jnp.sqrt(pfrac[:, 1:, :] * pfrac[:, :-1, :])     # (c,l-1,g)
+    pf_in = jnp.sqrt(pfrac[:, 1:, :] * pfrac[:, :-1, :])     # (c, l-1, g)
     pf_lev = jnp.concatenate([pfrac[:, :1, :], pf_in, pfrac[:, -1:, :]],
-                             axis=1)                         # (c,l+1,g)
+                             axis=1)                         # (c, l+1, g)
     pb_lev = planck_bands(tlev)
     lev_src = pf_lev * pb_lev[..., band_of_gpt]
     return sfc_src, lay_src, lev_src, sfc_src_jac

@@ -1,0 +1,82 @@
+"""Column-sharded execution over TPU device meshes.
+
+The radiation problem is embarrassingly parallel in the column dimension
+(reference blocks columns on the host, examples/rfmip-clear-sky/
+rrtmgp_rfmip_lw.F90:177-179; SURVEY.md section 2.9). The TPU-native
+expression: a 1-D ``jax.sharding.Mesh`` over a "columns" axis, every
+column-leading field sharded on axis 0, lookup tables replicated in HBM
+(they are closed over by the jit'd function, so XLA replicates them), and
+*no collectives on the solve path* — only optional ``psum`` for
+domain-integrated diagnostics.
+
+Multi-host: initialize ``jax.distributed`` (DCN for process coordination
+only), build the mesh over all devices, and feed per-host column shards
+via :func:`shard_columns` (which uses ``make_array_from_process_local_data``
+when running multi-process).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["column_mesh", "shard_columns", "replicate", "column_sharding",
+           "pad_columns", "domain_mean"]
+
+COLUMNS = "columns"
+
+
+def column_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the column axis (all local+global devices)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (COLUMNS,))
+
+
+def column_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a column-leading array: axis 0 split over devices."""
+    return NamedSharding(mesh, P(COLUMNS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_columns(arr, multiple: int):
+    """Pad axis 0 up to a multiple (sharding requires equal shards).
+    Returns (padded, ncol_original)."""
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, n
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(np.asarray(arr), widths, mode="edge"), n
+
+
+def shard_columns(tree, mesh: Mesh):
+    """Place every array in the pytree with its leading (column) axis
+    sharded over the mesh. In multi-process runs each process passes its
+    local column block and the global array is assembled over DCN."""
+    sharding = column_sharding(mesh)
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def domain_mean(field, *, axis_name: Optional[str] = None):
+    """Mean over columns; inside shard_map/pmap contexts pass the mesh axis
+    name to reduce with a psum over ICI (diagnostics only — the solve path
+    itself needs no collectives)."""
+    import jax.numpy as jnp
+    local = jnp.mean(field, axis=0)
+    if axis_name is not None:
+        local = jax.lax.pmean(local, axis_name)
+    return local

@@ -35,9 +35,11 @@ def atmos():
 
 
 def _col_gas(gop, play, plev, tlay, gas):
+    """Returns col_gas in the oracle's (ncol, nlay, ngas+1) convention
+    (production layout is gas-axis-leading for TPU tiling)."""
     col_gas, col_dry, idx_h2o = gop._col_gas(
         jnp.asarray(play), jnp.asarray(plev), jnp.asarray(tlay), gas, None)
-    return np.asarray(col_gas), np.asarray(col_dry), idx_h2o
+    return np.moveaxis(np.asarray(col_gas), 0, -1), np.asarray(col_dry), idx_h2o
 
 
 # ---------------------------------------------------------------------------
@@ -99,8 +101,10 @@ def test_solar_variability(kdist_sw):
 # ---------------------------------------------------------------------------
 
 def _coeffs(kd, play, tlay, col_gas):
+    # production layout: (ngas+1, ncol, nlay)
+    cg = jnp.asarray(np.moveaxis(np.asarray(col_gas), -1, 0))
     return interpolation(
-        jnp.asarray(play), jnp.asarray(tlay), jnp.asarray(col_gas),
+        jnp.asarray(play), jnp.asarray(tlay), cg,
         flavor_gas1=kd.flavor[0], flavor_gas2=kd.flavor[1], neta=kd.neta,
         press_ref_log=kd.press_ref_log, temp_ref=kd.temp_ref,
         press_ref_log_delta=kd.press_ref_log_delta,
@@ -118,13 +122,14 @@ def test_interpolation_vs_oracle(kdist_lw, atmos):
     np.testing.assert_array_equal(np.asarray(co.jtemp), ref["jtemp"])
     np.testing.assert_array_equal(np.asarray(co.jpress), ref["jpress"])
     np.testing.assert_array_equal(np.asarray(co.tropo), ref["tropo"])
-    np.testing.assert_allclose(np.asarray(co.col_mix), ref["col_mix"], rtol=1e-12)
+    col_mix = np.transpose(np.asarray(co.col_mix), (2, 3, 1, 0))
+    np.testing.assert_allclose(col_mix, ref["col_mix"], rtol=1e-12)
     # When eta falls exactly on a grid node (e.g. eta=0.5 for same-gas
     # flavors) the emulated-f64 division may round to the other side of the
     # node than numpy; (jeta, feta) pairs on either side are numerically
     # identical, so compare the effective eta position and the weight sums.
-    jeta = np.asarray(co.jeta)
-    fminor = np.asarray(co.fminor)
+    jeta = np.transpose(np.asarray(co.jeta), (2, 3, 1, 0))
+    fminor = np.transpose(np.asarray(co.fminor), (3, 4, 2, 0, 1))
     # recover feta from fminor: feta*ft + (1-feta)*ft = ft
     ft_sum = fminor.sum(-1)                            # (c,l,f,2) = ftemp term
     ref_ft_sum = ref["fminor"].sum(-1)
@@ -137,7 +142,8 @@ def test_interpolation_vs_oracle(kdist_lw, atmos):
     # weights sum to the same totals
     np.testing.assert_allclose(fminor.sum((-1, -2)), ref["fminor"].sum((-1, -2)),
                                rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(co.fmajor).sum((-1, -2, -3)),
+    fmajor = np.transpose(np.asarray(co.fmajor), (4, 5, 3, 0, 1, 2))
+    np.testing.assert_allclose(fmajor.sum((-1, -2, -3)),
                                ref["fmajor"].sum((-1, -2, -3)), rtol=1e-10)
 
 
