@@ -115,11 +115,11 @@ class GasOpticsRRTMGP:
                                                     gas_concs, col_dry)
         coeffs = self._interp(play, tlay, col_gas)
 
-        tau = tau_major(coeffs, kd.kmajor,
-                        gpoint_flavor=kd.gpoint_flavor,
-                        band_lims_gpt=kd.grid.band_lims_gpt_array)
-        for lower, mset, ktab in ((True, kd.minor_lower, kd.kminor_lower),
-                                  (False, kd.minor_upper, kd.kminor_upper)):
+        tau, pfrac = tau_major(coeffs, kd.kmajor_x,
+                               gpoint_flavor=kd.gpoint_flavor,
+                               band_lims_gpt=kd.grid.band_lims_gpt_array)
+        for lower, mset, ktab in ((True, kd.minor_lower, kd.kminor_lower_x),
+                                  (False, kd.minor_upper, kd.kminor_upper_x)):
             tau = tau_minor(
                 tau, coeffs, ktab, lower=lower,
                 minor_limits_gpt=mset.limits_gpt,
@@ -128,11 +128,11 @@ class GasOpticsRRTMGP:
                 idx_minor_scaling=mset.idx_minor_scaling,
                 minor_scales_with_density=mset.scales_with_density,
                 scale_by_complement=mset.scale_by_complement,
-                gpt_flavor_atm=kd.gpoint_flavor[0 if lower else 1],
+                minor_flavor=mset.flavor,
                 play=play, tlay=tlay, col_gas=col_gas, idx_h2o=idx_h2o)
 
         if kd.krayl is not None:
-            tau_ray = tau_rayleigh(coeffs, kd.krayl,
+            tau_ray = tau_rayleigh(coeffs, kd.krayl_x,
                                    gpoint_flavor=kd.gpoint_flavor,
                                    band_lims_gpt=kd.grid.band_lims_gpt_array,
                                    col_gas=col_gas,
@@ -156,7 +156,7 @@ class GasOpticsRRTMGP:
             else:
                 props = OpticalProps1scl(tau=tau, grid=self.grid,
                                          top_at_1=top_at_1)
-        return props, coeffs
+        return props, coeffs, pfrac
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -186,15 +186,13 @@ class GasOpticsRRTMGP:
         tlay = jnp.asarray(tlay)
         tsfc = jnp.asarray(tsfc, play.dtype)
         top = infer_top_at_1(play, top_at_1)
-        props, coeffs = self._compute_taus(play, plev, tlay, gas_concs,
-                                           col_dry, top, scattering)
+        props, coeffs, pfrac = self._compute_taus(play, plev, tlay, gas_concs,
+                                                  col_dry, top, scattering)
         tlev_w = (jnp.asarray(tlev) if tlev is not None
                   else self.interp_tlev(tlay, play, plev))
         sfc, lay, lev, jac = planck_sources(
-            coeffs, pfracin=kd.planck_frac, totplnk=kd.totplnk,
+            pfrac, totplnk=kd.totplnk,
             totplnk_delta=kd.totplnk_delta, temp_ref_min=kd.temp_ref_min,
-            gpoint_flavor=kd.gpoint_flavor,
-            band_lims_gpt=kd.grid.band_lims_gpt_array,
             gpt2band=kd.grid.gpt2band,
             tlay=tlay, tlev=tlev_w, tsfc=tsfc, top_at_1=top)
         sources = SourcesLW(lay_source=lay, lev_source=lev, sfc_source=sfc,
@@ -211,9 +209,9 @@ class GasOpticsRRTMGP:
         kd = self.kdist
         play = jnp.asarray(play)
         top = infer_top_at_1(play, top_at_1)
-        props, _ = self._compute_taus(play, jnp.asarray(plev),
-                                      jnp.asarray(tlay), gas_concs, col_dry,
-                                      top, scattering)
+        props, _, _ = self._compute_taus(play, jnp.asarray(plev),
+                                         jnp.asarray(tlay), gas_concs,
+                                         col_dry, top, scattering)
         ncol = play.shape[0]
         toa = jnp.broadcast_to(kd.solar_source[None, :], (ncol, kd.ngpt))
         return props, toa

@@ -49,6 +49,10 @@ class MinorSet:
     idx_minor: tuple                 # int per minor
     idx_minor_scaling: tuple         # int per minor
     kminor_start: tuple              # int per minor, 0-based into kminor
+    flavor: tuple = ()               # 0-based flavor of each minor's window
+                                     # (= gpoint_flavor[atm, g0]); lets the
+                                     # tau kernel share one gather among all
+                                     # minors with equal eta interpolant
 
     def __len__(self):
         return len(self.gas_names)
@@ -93,6 +97,19 @@ class KDist:
     solar_source_facular: Optional[jax.Array]
     solar_source_sunspot: Optional[jax.Array]
     solar_source: Optional[jax.Array]        # (ngpt,)
+    # --- corner-expanded gather tables (TPU optimization; see
+    # ops/gas_optics.py module docstring). Derived from the above at load
+    # time; one gather row covers all (press, eta) interpolation corners so
+    # the hot kernels issue 4-8x fewer gather descriptors (TPU gathers are
+    # row-descriptor-bound, ~3-5 ns/row regardless of row width).
+    kmajor_x: Optional[jax.Array] = None
+    # (ntemp, neta-1, npres, 4, ntab, ngpt); corner axis = (dp, de);
+    # ntab=2 packs planck_frac behind kmajor for LW so tau + Planck
+    # fraction share one gather.
+    kminor_lower_x: Optional[jax.Array] = None  # (ntemp, neta-1, 2, ncont)
+    kminor_upper_x: Optional[jax.Array] = None  # corner axis = de
+    krayl_x: Optional[jax.Array] = None  # (ntemp, neta-1, 2, 2, ngpt):
+                                         # [jt, je, itropo, de, g]
 
     # ------------------------------------------------------------------
     @property
@@ -269,6 +286,14 @@ class KDist:
             )
             return mset, k_red
 
+        def corner_expand_eta(tab):
+            """(ntemp, neta, ...) -> (ntemp, neta-1, 2, ...): one row per
+            base eta index carrying both eta corners (je, je+1)."""
+            tab = np.asarray(tab, np.float64)
+            neta_t = tab.shape[1]
+            return np.stack([tab[:, de:neta_t - 1 + de] for de in (0, 1)],
+                            axis=2)
+
         mlow, klow = reduce_minor(kminor_lower, minor_gases_lower,
                                   minor_limits_gpt_lower,
                                   minor_scales_with_density_lower,
@@ -293,11 +318,40 @@ class KDist:
         temp_ref_max = float(temp_ref[-1])
         temp_ref_delta = (temp_ref_max - temp_ref_min) / (ntemp - 1)
 
-        krayl = None
+        # flavor of each minor window (for gather sharing in tau_minor)
+        mlow = dataclasses.replace(mlow, flavor=tuple(
+            int(gpoint_flavor[0, g0]) for (g0, _) in mlow.limits_gpt))
+        mupp = dataclasses.replace(mupp, flavor=tuple(
+            int(gpoint_flavor[1, g0]) for (g0, _) in mupp.limits_gpt))
+
+        krayl = krayl_x = None
         if rayl_lower is not None:
             if rayl_upper is None:
                 raise ValueError("rayl_lower and rayl_upper must both be provided")
             krayl = jnp.asarray(np.stack([rayl_lower, rayl_upper], axis=-1), dtype)
+            # [jt, je, itropo, de, g]
+            krayl_x = jnp.asarray(np.stack(
+                [corner_expand_eta(rayl_lower), corner_expand_eta(rayl_upper)],
+                axis=2), dtype)
+
+        # corner-expanded major table: one row per (jt, je, jp) base carries
+        # all four (press, eta) corners; LW packs planck_frac alongside so
+        # tau + Planck fraction share the same gather rows.
+        kmaj_np = np.asarray(kmajor, np.float64)
+        tabs = [kmaj_np]
+        if planck_frac is not None:
+            tabs.append(np.asarray(planck_frac, np.float64))
+        neta_k, npresp1 = kmaj_np.shape[1], kmaj_np.shape[2]
+        corners = []
+        for dp in (0, 1):
+            for de in (0, 1):
+                corners.append(np.stack(
+                    [t[:, de:neta_k - 1 + de, dp:npresp1 - 1 + dp, :]
+                     for t in tabs], axis=-2))
+        kmajor_x = jnp.asarray(np.stack(corners, axis=3), dtype)
+
+        def kminor_x_of(k_red):
+            return jnp.asarray(corner_expand_eta(k_red), dtype)
 
         totplnk_delta = 0.0
         totplnk_j = planck_j = None
@@ -337,6 +391,10 @@ class KDist:
             optimal_angle_fit=oaf,
             solar_source_quiet=sq, solar_source_facular=sf,
             solar_source_sunspot=ss, solar_source=src,
+            kmajor_x=kmajor_x,
+            kminor_lower_x=kminor_x_of(klow),
+            kminor_upper_x=kminor_x_of(kupp),
+            krayl_x=krayl_x,
         )
         if sq is not None:
             kd = kd.with_solar_variability(

@@ -7,8 +7,8 @@ Re-implements the four reference kernels
   - ``compute_tau_absorption`` (:176-338, major :345-396, minor :402-501)
       -> :func:`tau_major` + :func:`tau_minor`
   - ``compute_tau_rayleigh`` (:506-565) -> :func:`tau_rayleigh`
-  - ``compute_Planck_source`` (:568-710) -> :func:`planck_fraction` +
-      :func:`planck_sources`
+  - ``compute_Planck_source`` (:568-710) -> :func:`tau_major` (Planck
+      fraction, fused with the major-tau gathers) + :func:`planck_sources`
 
 Design notes (TPU-first):
   * All index arithmetic is 0-based; table lookups become flat gathers on
@@ -49,7 +49,6 @@ __all__ = [
     "tau_major",
     "tau_minor",
     "tau_rayleigh",
-    "planck_fraction",
     "planck_sources",
     "interp1d_table",
 ]
@@ -177,80 +176,91 @@ def _band_weight(coeffs: InterpCoeffs, it: int, dp: int, de: int,
                      coeffs.fmajor[it, dp, de, flav_hi])
 
 
-def tau_major(coeffs: InterpCoeffs, kmajor, *, gpoint_flavor, band_lims_gpt,
-              scale_by_col_mix: bool = True):
+def tau_major(coeffs: InterpCoeffs, kmajor_x, *, gpoint_flavor, band_lims_gpt):
     """Major-gas optical depth (reference gas_optical_depths_major /
-    interpolate3D_byflav, kernels :345-396, :765-803).
+    interpolate3D_byflav, kernels :345-396, :765-803) — and, for LW, the
+    Planck fraction (reference compute_Planck_source :619-634) from the
+    same gathers.
 
-    kmajor: (ntemp, neta, npres+1, ngpt) device table.
-    gpoint_flavor: static (2, ngpt) 0-based flavor per (itropo, gpt);
-    band_lims_gpt: static (nbnd, 2) 1-based inclusive g-point limits.
+    kmajor_x: corner-expanded device table
+    (ntemp, neta-1, npres, 4, ntab, ngpt): one row per (jt, je, jp) base
+    index holds all four (dp, de) interpolation corners; ntab=2 packs
+    planck_frac behind kmajor. gpoint_flavor: static (2, ngpt) 0-based
+    flavor per (itropo, gpt); band_lims_gpt: static (nbnd, 2) 1-based.
 
     TPU structure: every g-point in a band shares the same flavor and
-    therefore the same 8 interpolation corners, so the lookup is a *row*
-    gather — per (col, lay) pull contiguous rows of gpts-per-band values
-    from the band's table slice. This is ~(gpts per band)x fewer gather
-    descriptors than an elementwise gather and keeps g-points on lanes.
-    With ``scale_by_col_mix=False`` computes the unit-scaled interpolation
-    (the Planck-fraction variant). Returns (ncol, nlay, ngpt).
+    therefore the same interpolation corners, so the lookup is a *row*
+    gather per (col, lay, band, itemp). TPU gathers cost per row
+    descriptor (~3-5 ns) independent of row width, so packing the 4
+    press/eta corners (and the Planck table) into the row cuts the hot
+    kernel's descriptor count 8x vs the naive 8-corner gather.
+
+    Returns (tau, pfrac) with shapes (ncol, nlay, ngpt); pfrac is None
+    when ntab == 1 (SW tables).
     """
-    ntemp, neta, npresp1, ngpt = kmajor.shape
-    k2 = kmajor.reshape(-1, ngpt)  # row = (jt*neta + je)*npresp1 + jp
+    ntemp, netam1, npres, _, ntab, ngpt = kmajor_x.shape
+    T = kmajor_x.reshape(ntemp * netam1 * npres, 4, ntab, ngpt)
     gflav = np.asarray(gpoint_flavor)
     bands = np.asarray(band_lims_gpt)
 
     jp_base = coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)     # (c, l)
 
-    out = []
+    tau_out, pl_out = [], []
     for b in range(bands.shape[0]):
         g0, g1 = int(bands[b, 0]) - 1, int(bands[b, 1]) - 1
+        w = g1 - g0 + 1
         flav_lo, flav_hi = int(gflav[0, g0]), int(gflav[1, g0])
-        kb = k2[:, g0:g1 + 1]
-        acc = None
+        # flatten (4, ntab, w) into the lane axis: gather outputs keep a
+        # wide minor-most dimension (TPU tiled layouts pad the last two
+        # dims to 8x128, so a trailing (4, ntab, w) would bloat the gather
+        # write 8-32x; a trailing 4*ntab*w does not)
+        Tb = T[:, :, :, g0:g1 + 1].reshape(T.shape[0], 4 * ntab * w)
+        acc_t = acc_p = None
         for it in range(2):
-            jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
-            je, cm = _band_flavor_state(coeffs, it, flav_lo, flav_hi,
-                                        scale_by_col_mix)
-            for dp in range(2):
-                jp = jp_base + dp
-                for de in range(2):
-                    wgt = _band_weight(coeffs, it, dp, de, flav_lo, flav_hi)
-                    if cm is not None:
-                        wgt = wgt * cm
-                    rows = (jt * neta + jnp.clip(je + de, 0, neta - 1)
-                            ) * npresp1 + jp
-                    term = wgt[..., None] * jnp.take(kb, rows, axis=0)
-                    acc = term if acc is None else acc + term
-        out.append(acc)
-    return jnp.concatenate(out, axis=-1)
+            je, cm = _band_flavor_state(coeffs, it, flav_lo, flav_hi, True)
+            rows = ((coeffs.jtemp + it) * netam1 + je) * npres + jp_base
+            blk = jnp.take(Tb, rows, axis=0)        # (c, l, 4*ntab*w)
+            for p, (dp, de) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                wgt = _band_weight(coeffs, it, dp, de, flav_lo, flav_hi)
+                off = p * ntab * w
+                t_term = (wgt * cm)[..., None] * blk[:, :, off:off + w]
+                acc_t = t_term if acc_t is None else acc_t + t_term
+                if ntab == 2:
+                    p_term = wgt[..., None] * blk[:, :, off + w:off + 2 * w]
+                    acc_p = p_term if acc_p is None else acc_p + p_term
+        tau_out.append(acc_t)
+        if ntab == 2:
+            pl_out.append(acc_p)
+    tau = jnp.concatenate(tau_out, axis=-1)
+    pfrac = jnp.concatenate(pl_out, axis=-1) if ntab == 2 else None
+    return tau, pfrac
 
 
-def planck_fraction(coeffs: InterpCoeffs, pfracin, *, gpoint_flavor,
-                    band_lims_gpt):
-    """Planck fraction: same 3-D interpolation as tau_major with unit
-    scaling (reference compute_Planck_source :619-634)."""
-    return tau_major(coeffs, pfracin, gpoint_flavor=gpoint_flavor,
-                     band_lims_gpt=band_lims_gpt, scale_by_col_mix=False)
-
-
-def tau_minor(tau, coeffs: InterpCoeffs, kminor, *, lower: bool,
+def tau_minor(tau, coeffs: InterpCoeffs, kminor_x, *, lower: bool,
               minor_limits_gpt, kminor_start, idx_minor, idx_minor_scaling,
               minor_scales_with_density, scale_by_complement,
-              gpt_flavor_atm, play, tlay, col_gas, idx_h2o: int):
+              minor_flavor, play, tlay, col_gas, idx_h2o: int):
     """Minor-gas optical depths for one atmosphere (reference
     gas_optical_depths_minor, kernels :402-501). All per-minor metadata is
     static; the loop unrolls under jit.
 
-    kminor: (ntemp, neta, nminork) device table; col_gas (ngas+1, c, l).
-    minor_limits_gpt: 0-based inclusive windows; gpt_flavor_atm: (ngpt,)
-    static 0-based flavors for this atmosphere.
+    kminor_x: corner-expanded device table (ntemp, neta-1, 2, nminork);
+    col_gas (ngas+1, c, l); minor_limits_gpt: 0-based inclusive windows;
+    minor_flavor: static 0-based flavor per minor gas.
+
+    TPU structure: minors sharing an eta flavor have identical gather rows,
+    so their table windows are fetched in ONE gather per (flavor, itemp)
+    (concatenated along the contributor axis at trace time); the per-gas
+    scaling and the scatter-add into static g-point windows stay
+    elementwise. Gather descriptors: 2 x nflavors-used instead of
+    4 x nminor.
     """
     dtype = tau.dtype
     nm = len(kminor_start)
     if nm == 0:
         return tau
-    ntemp, neta, nminork = kminor.shape
-    k2 = kminor.reshape(-1, nminork)    # rows = jtemp*neta + jeta
+    ntemp, netam1, _, nminork = kminor_x.shape
+    K = kminor_x.reshape(ntemp * netam1, 2, nminork)
 
     mask = coeffs.tropo if lower else jnp.logical_not(coeffs.tropo)
     maskf = mask.astype(dtype)
@@ -258,50 +268,56 @@ def tau_minor(tau, coeffs: InterpCoeffs, kminor, *, lower: bool,
     inv_col_dry = 1.0 / col_gas[0]
     dry_fact = 1.0 / (1.0 + col_gas[idx_h2o] * inv_col_dry)
 
+    groups = {}
     for m in range(nm):
-        g0, g1 = int(minor_limits_gpt[m][0]), int(minor_limits_gpt[m][1])
-        w = g1 - g0 + 1
-        start = int(kminor_start[m])
-        flav = int(gpt_flavor_atm[g0])
+        groups.setdefault(int(minor_flavor[m]), []).append(m)
 
-        scaling = col_gas[int(idx_minor[m])]
-        if minor_scales_with_density[m]:
-            scaling = scaling * (0.01 * play / tlay)
-            isc = int(idx_minor_scaling[m])
-            if isc > 0:
-                frac = col_gas[isc] * inv_col_dry * dry_fact
-                if scale_by_complement[m]:
-                    scaling = scaling * (1.0 - frac)
-                else:
-                    scaling = scaling * frac
-
-        # 2x2 eta/temp interpolation over the static g-point window
-        acc = None
+    for flav, members in groups.items():
+        widths = [int(minor_limits_gpt[m][1]) - int(minor_limits_gpt[m][0]) + 1
+                  for m in members]
+        gw = sum(widths)
+        # flatten (2, gw) into the lane axis (see tau_major layout note)
+        Kg = jnp.concatenate(
+            [K[:, :, int(kminor_start[m]):int(kminor_start[m]) + w]
+             for m, w in zip(members, widths)], axis=-1).reshape(K.shape[0],
+                                                                 2 * gw)
+        kk = None
         for it in range(2):
-            jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
-            je_f = coeffs.jeta[it, flav]                       # (c, l)
-            fm = coeffs.fminor[it, :, flav]                    # (2, c, l)
-            for de in range(2):
-                je = jnp.clip(je_f + de, 0, neta - 1)
-                rows = jt * neta + je                          # (c, l)
-                kk = jnp.take(k2[:, start:start + w], rows, axis=0)  # (c,l,w)
-                term = fm[de][..., None] * kk
-                acc = term if acc is None else acc + term
-        contrib = (scaling * maskf)[..., None] * acc
-        tau = tau.at[:, :, g0:g1 + 1].add(contrib)
+            rows = (coeffs.jtemp + it) * netam1 + coeffs.jeta[it, flav]
+            blk = jnp.take(Kg, rows, axis=0)               # (c, l, 2*gw)
+            fm = coeffs.fminor[it, :, flav]                # (2, c, l)
+            term = (fm[0][..., None] * blk[:, :, :gw]
+                    + fm[1][..., None] * blk[:, :, gw:])
+            kk = term if kk is None else kk + term
+
+        off = 0
+        for m, w in zip(members, widths):
+            g0 = int(minor_limits_gpt[m][0])
+            scaling = col_gas[int(idx_minor[m])]
+            if minor_scales_with_density[m]:
+                scaling = scaling * (0.01 * play / tlay)
+                isc = int(idx_minor_scaling[m])
+                if isc > 0:
+                    frac = col_gas[isc] * inv_col_dry * dry_fact
+                    if scale_by_complement[m]:
+                        scaling = scaling * (1.0 - frac)
+                    else:
+                        scaling = scaling * frac
+            contrib = (scaling * maskf)[..., None] * kk[:, :, off:off + w]
+            tau = tau.at[:, :, g0:g0 + w].add(contrib)
+            off += w
     return tau
 
 
-def tau_rayleigh(coeffs: InterpCoeffs, krayl, *, gpoint_flavor, band_lims_gpt,
-                 col_gas, col_dry, idx_h2o: int):
+def tau_rayleigh(coeffs: InterpCoeffs, krayl_x, *, gpoint_flavor,
+                 band_lims_gpt, col_gas, col_dry, idx_h2o: int):
     """Rayleigh scattering optical depth (reference compute_tau_rayleigh,
-    kernels :506-565). krayl: (ntemp, neta, ngpt, 2) device table
-    (last axis: lower/upper atmosphere); col_gas (ngas+1, c, l).
-    Same per-band row-gather structure as :func:`tau_major`, with the
-    atmosphere index folded into the row."""
-    ntemp, neta, ngpt, _ = krayl.shape
-    # rows = (itropo*ntemp + jt)*neta + je (constant relayout, folded by XLA)
-    k2 = jnp.moveaxis(krayl, -1, 0).reshape(-1, ngpt)
+    kernels :506-565). krayl_x: corner-expanded device table
+    [jt, je, itropo, de, g] = (ntemp, neta-1, 2, 2, ngpt); col_gas
+    (ngas+1, c, l). One gather per (band, itemp) with the atmosphere index
+    folded into the row and both eta corners in the row payload."""
+    ntemp, netam1, _, _, ngpt = krayl_x.shape
+    K = krayl_x.reshape(ntemp * netam1 * 2, 2, ngpt)
     gflav = np.asarray(gpoint_flavor)
     bands = np.asarray(band_lims_gpt)
 
@@ -309,22 +325,24 @@ def tau_rayleigh(coeffs: InterpCoeffs, krayl, *, gpoint_flavor, band_lims_gpt,
     out = []
     for b in range(bands.shape[0]):
         g0, g1 = int(bands[b, 0]) - 1, int(bands[b, 1]) - 1
+        w = g1 - g0 + 1
         flav_lo, flav_hi = int(gflav[0, g0]), int(gflav[1, g0])
-        kb = k2[:, g0:g1 + 1]
+        # flatten (2, w) into the lane axis (see tau_major layout note)
+        Kb = K[:, :, g0:g1 + 1].reshape(K.shape[0], 2 * w)
         acc = None
         for it in range(2):
-            jt = jnp.clip(coeffs.jtemp + it, 0, ntemp - 1)
             je, _ = _band_flavor_state(coeffs, it, flav_lo, flav_hi, False)
-            for de in range(2):
-                if flav_lo == flav_hi:
-                    w = coeffs.fminor[it, de, flav_lo]
-                else:
-                    w = jnp.where(coeffs.tropo, coeffs.fminor[it, de, flav_lo],
-                                  coeffs.fminor[it, de, flav_hi])
-                rows = (itropo * ntemp + jt) * neta + jnp.clip(je + de, 0,
-                                                               neta - 1)
-                term = w[..., None] * jnp.take(kb, rows, axis=0)
-                acc = term if acc is None else acc + term
+            rows = ((coeffs.jtemp + it) * netam1 + je) * 2 + itropo
+            blk = jnp.take(Kb, rows, axis=0)               # (c, l, 2*w)
+            if flav_lo == flav_hi:
+                fm = coeffs.fminor[it, :, flav_lo]         # (2, c, l)
+            else:
+                fm = jnp.where(coeffs.tropo[None],
+                               coeffs.fminor[it, :, flav_lo],
+                               coeffs.fminor[it, :, flav_hi])
+            term = (fm[0][..., None] * blk[:, :, :w]
+                    + fm[1][..., None] * blk[:, :, w:])
+            acc = term if acc is None else acc + term
         out.append(acc)
     k = jnp.concatenate(out, axis=-1)
     return k * (col_gas[idx_h2o] + col_dry)[..., None]
@@ -343,17 +361,16 @@ def interp1d_table(val, offset, delta, table):
     return lo + frac[..., None] * (hi - lo)
 
 
-def planck_sources(coeffs: InterpCoeffs, *, pfracin, totplnk, totplnk_delta,
-                   temp_ref_min, gpoint_flavor, band_lims_gpt, gpt2band,
+def planck_sources(pfrac, *, totplnk, totplnk_delta,
+                   temp_ref_min, gpt2band,
                    tlay, tlev, tsfc, top_at_1: bool):
     """Planck source functions (reference compute_Planck_source,
-    kernels :568-710): pfrac interp, 1-D totplnk interp by temperature,
-    band->gpt mapping, geometric-mean level sources, surface Jacobian by
-    1 K finite difference.
+    kernels :568-710): 1-D totplnk interp by temperature, band->gpt
+    mapping, geometric-mean level sources, surface Jacobian by 1 K finite
+    difference. ``pfrac`` (c, l, g) comes from :func:`tau_major` (the
+    Planck-fraction interpolation shares the major-tau gathers).
 
     Returns (sfc_src, lay_src, lev_src, sfc_src_jac)."""
-    pfrac = planck_fraction(coeffs, pfracin, gpoint_flavor=gpoint_flavor,
-                            band_lims_gpt=band_lims_gpt)     # (c, l, g)
     band_of_gpt = jnp.asarray(np.asarray(gpt2band), jnp.int32)
 
     def planck_bands(t):

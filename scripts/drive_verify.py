@@ -1,0 +1,134 @@
+"""User-style end-to-end drive of the library surface (verify recipe)."""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+print("devices:", jax.devices())
+
+from rte_rrtmgp_tpu import rte_lw, rte_sw
+from rte_rrtmgp_tpu.optical_props import OpticalProps1scl, OpticalProps2str
+from rte_rrtmgp_tpu.sources import SourcesLW
+from rte_rrtmgp_tpu.spectral import SpectralGrid
+from rte_rrtmgp_tpu.gas_concs import GasConcs
+from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
+from rte_rrtmgp_tpu.utils.profiles import allsky_profiles
+
+failures = []
+
+
+def check(name, ok, detail=""):
+    print(f"  {'PASS' if ok else 'FAIL'}: {name} {detail}")
+    if not ok:
+        failures.append(name)
+
+
+# ---- 1. LW gray equilibrium vs analytic OLR --------------------------------
+print("[1] LW gray radiative equilibrium")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+from gray_atmosphere import gray_rad_equil, gray_rad_equil_olr
+
+ncol, nlay = 8, 16
+taus = np.array([0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 30.0, 50.0])
+tsfc = np.full(ncol, 300.0)
+props, src = gray_rad_equil(tsfc, taus, nlay, dtype=jnp.float32)
+olr_ref = gray_rad_equil_olr(tsfc, taus)
+emis = jnp.ones((ncol, 1), jnp.float32)
+f = jax.jit(lambda p, s: rte_lw(p, s, emis))(props, src)
+olr = np.asarray(f.flux_up[:, 0])
+check("gray OLR vs analytic", np.allclose(olr, olr_ref, atol=3.5e-1),
+      f"max err {np.max(np.abs(olr - olr_ref)):.2e} W/m2")
+
+# ---- 2. SW two-stream sanity ------------------------------------------------
+print("[2] SW two-stream")
+rng = np.random.default_rng(0)
+ngpt = 16
+grid2 = SpectralGrid.from_arrays(np.array([[0.0, 50000.0]]), np.array([[1, ngpt]]))
+tau = jnp.asarray(rng.uniform(0.01, 1.0, (ncol, nlay, ngpt)), jnp.float32)
+ssa = jnp.asarray(rng.uniform(0.1, 0.9, (ncol, nlay, ngpt)), jnp.float32)
+g = jnp.asarray(rng.uniform(0.0, 0.8, (ncol, nlay, ngpt)), jnp.float32)
+p2 = OpticalProps2str(tau=tau, ssa=ssa, g=g, grid=grid2, top_at_1=True)
+mu0 = jnp.full((ncol,), 0.7, jnp.float32)
+inc = jnp.asarray(rng.uniform(5.0, 10.0, (ncol, ngpt)), jnp.float32)
+alb = jnp.full((ncol, 1), 0.2, jnp.float32)
+fsw = jax.jit(lambda p, i: rte_sw(p, mu0, i, alb, alb))(p2, inc)
+toa_dn = np.asarray(fsw.flux_dn[:, 0])
+expect = np.asarray(jnp.sum(inc, -1)) * 0.7
+check("SW TOA down = sum(inc)*mu0", np.allclose(toa_dn, expect, rtol=1e-5))
+beer = np.asarray(jnp.sum(inc * 0.7 * jnp.exp(-jnp.cumsum(tau, 1)[:, -1] / 0.7), -1))
+check("SW direct beam Beer-Lambert", np.allclose(
+    np.asarray(fsw.flux_dn_dir[:, -1]), beer, rtol=1e-4))
+check("SW up <= incident", np.all(np.asarray(fsw.flux_up) <= expect[:, None] + 1e-3))
+
+# ---- 3. RRTMGP synthetic gas optics end-to-end on TPU ----------------------
+print("[3] RRTMGP gas optics -> solvers (production dims)")
+kd_lw = synthetic_kdist(sw=False, ngpt=256, nbnd=16, ntemp=14, npres=59)
+kd_sw = synthetic_kdist(sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59)
+go_lw, go_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+play, plev, tlay, tlev, gas = allsky_profiles(32, 48)
+play, plev = jnp.asarray(play, jnp.float32), jnp.asarray(plev, jnp.float32)
+tlay, tlev = jnp.asarray(tlay, jnp.float32), jnp.asarray(tlev, jnp.float32)
+tsfc_a = tlay[:, -1]
+
+
+@jax.jit
+def lw_step(play, plev, tlay, tlev, tsfc_a):
+    props, sources = go_lw.gas_optics_lw(play, plev, tlay, tsfc_a, gas,
+                                         tlev=tlev, top_at_1=True)
+    return rte_lw(props, sources, jnp.full((32, 16), 0.98, jnp.float32))
+
+
+@jax.jit
+def sw_step(play, plev, tlay):
+    props, toa = go_sw.gas_optics_sw(play, plev, tlay, gas, top_at_1=True)
+    return rte_sw(props, jnp.full((32,), 0.86, jnp.float32), toa,
+                  jnp.full((32, 14), 0.06, jnp.float32),
+                  jnp.full((32, 14), 0.06, jnp.float32))
+
+
+flw = lw_step(play, plev, tlay, tlev, tsfc_a)
+fsw2 = sw_step(play, plev, tlay)
+olr2 = np.asarray(flw.flux_up[:, 0])
+check("LW fluxes finite/positive", np.all(np.isfinite(olr2)) and np.all(olr2 > 0),
+      f"OLR mean {olr2.mean():.1f} W/m2")
+# synthetic tables: only require net surface LW cooling on average and
+# sane magnitudes (tsfc == tlay[-1] here, so dn ~ up is legitimate)
+sfc_net = np.asarray(flw.flux_up[:, -1]) - np.asarray(flw.flux_dn[:, -1])
+check("LW surface fluxes sane", np.all(np.asarray(flw.flux_up[:, -1]) > 0)
+      and np.all(np.abs(sfc_net) < np.asarray(flw.flux_up[:, -1])))
+sw_up = np.asarray(fsw2.flux_up)
+sw_dn = np.asarray(fsw2.flux_dn)
+check("SW fluxes finite, net down > 0", np.all(np.isfinite(sw_up))
+      and np.all(sw_dn[:, -1] > sw_up[:, -1]))
+
+# ---- 4. sharding equivalence handled by tests/dryrun (CPU mesh) -------------
+# (run in pytest suite; here probe error paths eagerly)
+print("[4] eager error paths")
+try:
+    rte_lw(props, src, jnp.ones((ncol + 1, 1)))
+    check("bad emis shape raises", False)
+except ValueError:
+    check("bad emis shape raises", True)
+try:
+    rte_sw(p2, jnp.full((ncol,), 1.5), inc, alb, alb)
+    check("mu0 out of range raises", False)
+except ValueError:
+    check("mu0 out of range raises", True)
+try:
+    rte_lw(props, src, emis, lw_ds=jnp.full((ncol, 1), 1.66), n_gauss_angles=2)
+    check("lw_ds + n_gauss_angles conflict raises", False)
+except ValueError:
+    check("lw_ds + n_gauss_angles conflict raises", True)
+
+print()
+if failures:
+    print("VERIFY FAILED:", failures)
+    sys.exit(1)
+print("VERIFY OK")

@@ -153,8 +153,8 @@ def test_tau_absorption_vs_oracle(kdist_lw, atmos):
     gop = GasOpticsRRTMGP(kd)
     col_gas, _, _ = _col_gas(gop, play, plev, tlay, gas)
     co = _coeffs(kd, play, tlay, col_gas)
-    props, _ = gop._compute_taus(jnp.asarray(play), jnp.asarray(plev),
-                                 jnp.asarray(tlay), gas, None, True, False)
+    props, _, _ = gop._compute_taus(jnp.asarray(play), jnp.asarray(plev),
+                                    jnp.asarray(tlay), gas, None, True, False)
     ref_co = oracle_interpolation(kd, play, tlay, col_gas)
     ref_tau = oracle_tau_absorption(kd, ref_co, play, tlay, col_gas)
     np.testing.assert_allclose(np.asarray(props.tau), ref_tau, rtol=1e-10)
@@ -166,8 +166,8 @@ def test_tau_rayleigh_and_combine_vs_oracle(kdist_sw, atmos):
     play, plev, tlay, tlev, tsfc, gas = atmos
     gop = GasOpticsRRTMGP(kd)
     col_gas, col_dry, _ = _col_gas(gop, play, plev, tlay, gas)
-    props, _ = gop._compute_taus(jnp.asarray(play), jnp.asarray(plev),
-                                 jnp.asarray(tlay), gas, None, True, True)
+    props, _, _ = gop._compute_taus(jnp.asarray(play), jnp.asarray(plev),
+                                    jnp.asarray(tlay), gas, None, True, True)
     ref_co = oracle_interpolation(kd, play, tlay, col_gas)
     ref_abs = oracle_tau_absorption(kd, ref_co, play, tlay, col_gas)
     ref_ray = oracle_tau_rayleigh(kd, ref_co, col_gas, col_dry)
