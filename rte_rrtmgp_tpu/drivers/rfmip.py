@@ -1,0 +1,300 @@
+"""RFMIP clear-sky drivers (the reference's flagship example / CI gate).
+
+Behavioral equivalent of examples/rfmip-clear-sky/ in the reference:
+  - rrtmgp_rfmip_lw.F90:21-292 / rrtmgp_rfmip_sw.F90:17-330 (drivers)
+  - mo_rfmip_io.F90:46-477 (read_size, read_and_block_pt/gases_ty/lw_bc/sw_bc,
+    determine_gas_names, unblock_and_write)
+
+TPU-first differences:
+  * The reference blocks ncol*nexp columns into host-looped blocks of
+    ``block_size`` (rrtmgp_rfmip_lw.F90:177-179). Here all experiments are
+    flattened into one column axis (index = iexp * ncol + icol) and solved
+    in a single jitted launch per (optionally) block — TPUs want the
+    largest batch that fits; blocking exists only for HBM control and for
+    sharding the column axis over a device mesh.
+  * Gas concentrations that RFMIP specifies per experiment become
+    per-column 2-D fields after flattening.
+  * Output "unblocking" is a reshape back to (nexp, ncol, nlev).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gas_concs import GasConcs
+from ..rte import rte_lw, rte_sw
+from ..utils.netcdf import NCFile
+
+__all__ = ["RFMIPData", "read_rfmip", "determine_gas_names",
+           "synthetic_rfmip", "rfmip_lw", "rfmip_sw", "unblock",
+           "write_fluxes"]
+
+# chemical-formula <-> RFMIP concentration-variable name map
+# (reference determine_gas_names, mo_rfmip_io.F90:207-228)
+_CHEM_TO_CONC = {
+    "co": "carbon_monoxide",
+    "ch4": "methane",
+    "o2": "oxygen",
+    "n2o": "nitrous_oxide",
+    "n2": "nitrogen",
+    "co2": "carbon_dioxide",
+    "ccl4": "carbon_tetrachloride",
+    "ch3br": "methyl_bromide",
+    "ch3cl": "methyl_chloride",
+    "cfc22": "hcfc22",
+}
+
+# forcing-index 2/3 gas sets (reference :243-271)
+_FORCING_SETS = {
+    2: (("co2", "carbon_dioxide"), ("ch4", "methane"), ("n2o", "nitrous_oxide"),
+        ("o2", "oxygen"), ("cfc12", "cfc12"), ("cfc11", "cfc11eq")),
+    3: (("co2", "carbon_dioxide"), ("ch4", "methane"), ("n2o", "nitrous_oxide"),
+        ("o2", "oxygen"), ("cfc12", "cfc12eq"), ("hfc134a", "hfc134aeq")),
+}
+
+
+def determine_gas_names(kdist_gas_names, forcing_index: int = 1):
+    """(names_in_kdist, names_in_file) pairs for an RFMIP forcing variant
+    (reference determine_gas_names, mo_rfmip_io.F90:200-275)."""
+    if forcing_index == 1:
+        pairs = [(g, _CHEM_TO_CONC.get(g.lower(), g.lower()))
+                 for g in kdist_gas_names]
+    elif forcing_index in _FORCING_SETS:
+        pairs = list(_FORCING_SETS[forcing_index])
+    else:
+        raise ValueError(f"determine_gas_names: unknown forcing_index {forcing_index}")
+    return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
+
+
+@dataclasses.dataclass(frozen=True)
+class RFMIPData:
+    """RFMIP problem with experiments flattened into the column axis
+    (column index = iexp * nsite + isite)."""
+    nsite: int
+    nexp: int
+    play: np.ndarray        # (ncol, nlay)
+    plev: np.ndarray        # (ncol, nlay+1)
+    tlay: np.ndarray
+    tlev: np.ndarray
+    sfc_t: np.ndarray       # (ncol,)
+    sfc_emis: np.ndarray    # (ncol,)
+    sfc_alb: np.ndarray     # (ncol,)
+    tsi: np.ndarray         # (ncol,) total solar irradiance
+    sza: np.ndarray         # (ncol,) solar zenith angle [deg]
+    gas_concs: GasConcs
+
+    @property
+    def ncol(self):
+        return self.nsite * self.nexp
+
+    @property
+    def nlay(self):
+        return self.play.shape[1]
+
+
+def _scaling(f: NCFile, var: str) -> float:
+    """RFMIP vmr variables carry their scale factor in the units attribute
+    (reference read_scaling, mo_rfmip_io.F90:422-437)."""
+    u = f.attr(var, "units", "1")
+    try:
+        return float(str(u).strip())
+    except ValueError:
+        return 1.0
+
+
+def read_rfmip(path: str, gas_names_kdist=None, forcing_index: int = 1,
+               dtype=np.float32) -> RFMIPData:
+    """Read an RFMIP (multiple_input4MIPs...) file into a flattened-column
+    problem (reference read_and_block_pt :71-118, _lw_bc :161-190,
+    _sw_bc :123-156, _gases_ty :315-420)."""
+    f = NCFile(path)
+    play = f.var("pres_layer")          # (site?, layer) or (layer, site)?
+    # File layout: dims (expt, site, layer) for temp; pres_* are (site, layer)
+    # in netCDF C order given Fortran read (layer, site).
+    tlay = f.var("temp_layer")          # (expt, site, layer)
+    tlev = f.var("temp_level")
+    nexp, nsite, nlay = tlay.shape
+    if play.shape != (nsite, nlay):
+        play = play.T
+    plev = f.var("pres_level")
+    if plev.shape != (nsite, nlay + 1):
+        plev = plev.T
+
+    def flat3(a):       # (exp, site, lay) -> (exp*site, lay)
+        return np.ascontiguousarray(a.reshape(nexp * nsite, a.shape[-1])).astype(dtype)
+
+    def rep2(a):        # (site, lay) -> (exp*site, lay)
+        return np.tile(a[None], (nexp, 1, 1)).reshape(nexp * nsite, -1).astype(dtype)
+
+    def flat1(a):       # per-site or per-exp 1-D -> (exp*site,)
+        a = np.asarray(a)
+        if a.shape == (nsite,):
+            return np.tile(a[None], (nexp, 1)).reshape(-1).astype(dtype)
+        return np.repeat(a, nsite).astype(dtype)
+
+    st = f.var("surface_temperature")           # (expt, site) or (site,)
+    sfc_t = st.reshape(-1).astype(dtype) if st.ndim == 2 else flat1(st)
+
+    gas = GasConcs.empty()
+    # 3-D gases (water vapor, ozone) vary with (exp, site, lay)
+    gas = gas.set_vmr("h2o", flat3(f.var("water_vapor")) * _scaling(f, "water_vapor"))
+    gas = gas.set_vmr("o3", flat3(f.var("ozone")) * _scaling(f, "ozone"))
+
+    if gas_names_kdist is None:
+        gas_names_kdist = tuple(_CHEM_TO_CONC)
+    kd_names, file_names = determine_gas_names(gas_names_kdist, forcing_index)
+    for kn, fn in zip(kd_names, file_names):
+        if kn.lower() in ("h2o", "o3", "no2"):
+            continue
+        var = fn + "_GM"
+        if not f.has(var):
+            continue
+        vals = np.asarray(f.var(var), np.float64) * _scaling(f, var)  # (nexp,)
+        percol = np.repeat(vals, nsite).astype(dtype)                 # (ncol,)
+        gas = gas.set_vmr(kn, np.broadcast_to(percol[:, None],
+                                              (nexp * nsite, nlay)).copy())
+    if "no2" in [g.lower() for g in gas_names_kdist]:
+        gas = gas.set_vmr("no2", 0.0)
+
+    return RFMIPData(
+        nsite=nsite, nexp=nexp,
+        play=rep2(play), plev=rep2(plev),
+        tlay=flat3(tlay), tlev=flat3(tlev),
+        sfc_t=sfc_t,
+        sfc_emis=flat1(f.var("surface_emissivity")),
+        sfc_alb=flat1(f.var("surface_albedo")),
+        tsi=flat1(f.var("total_solar_irradiance")),
+        sza=flat1(f.var("solar_zenith_angle")),
+        gas_concs=gas)
+
+
+def synthetic_rfmip(nsite: int = 100, nlay: int = 60, nexp: int = 18,
+                    dtype=np.float32) -> RFMIPData:
+    """RFMIP-shaped problem from analytic RCEMIP profiles (for offline
+    testing/benchmarking at the reference's 1800x61 scale without the
+    data archive). Experiments perturb well-mixed GHGs like the RFMIP
+    forcing experiments do."""
+    from ..utils.profiles import rcemip_profiles
+
+    play, plev, tlay, tlev, _z, gas1 = rcemip_profiles(nsite, nlay)
+    ncol = nsite * nexp
+    rep = lambda a: np.tile(np.asarray(a)[None], (nexp, 1, 1)).reshape(
+        ncol, -1).astype(dtype)
+    h2o = np.asarray(gas1.get_vmr("h2o", nsite, nlay))
+    o3 = np.asarray(gas1.get_vmr("o3", nsite, nlay))
+
+    scale = np.linspace(0.5, 4.0, nexp)           # per-experiment GHG scaling
+    gas = GasConcs.empty()
+    gas = gas.set_vmr("h2o", rep(h2o))
+    gas = gas.set_vmr("o3", rep(o3))
+    for name, base in (("co2", 348e-6), ("ch4", 1650e-9), ("n2o", 306e-9),
+                       ("o2", 0.209), ("n2", 0.781), ("co", 1.5e-7)):
+        percol = np.repeat(base * (scale if name in ("co2", "ch4", "n2o")
+                                   else np.ones(nexp)), nsite)
+        gas = gas.set_vmr(name, np.broadcast_to(
+            percol[:, None].astype(dtype), (ncol, nlay)).copy())
+
+    rng = np.random.default_rng(7)
+    return RFMIPData(
+        nsite=nsite, nexp=nexp,
+        play=rep(play), plev=rep(plev), tlay=rep(tlay), tlev=rep(tlev),
+        sfc_t=np.repeat(np.asarray(tlay)[None, :, -1], nexp, 0).reshape(-1).astype(dtype),
+        sfc_emis=np.full(ncol, 0.98, dtype),
+        sfc_alb=np.full(ncol, 0.06, dtype),
+        tsi=np.full(ncol, 1361.0, dtype),
+        sza=rng.uniform(0.0, 120.0, ncol).astype(dtype),
+        gas_concs=gas)
+
+
+def _block_map(fn, data: RFMIPData, block_size: Optional[int]):
+    """Run ``fn`` over column blocks (reference block loop,
+    rrtmgp_rfmip_lw.F90:252-288) and concatenate results."""
+    ncol = data.ncol
+    if block_size is None or block_size >= ncol:
+        return fn(data, 0, ncol)
+    if ncol % block_size:
+        raise ValueError("rfmip: number of columns doesn't fit evenly into blocks")
+    outs = [fn(data, b * block_size, block_size)
+            for b in range(ncol // block_size)]
+    return tuple(np.concatenate([o[i] for o in outs], axis=0)
+                 for i in range(len(outs[0])))
+
+
+def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
+             n_gauss_angles: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """LW clear-sky fluxes (rlu, rld), each (ncol, nlay+1)
+    (reference rrtmgp_rfmip_lw.F90 block loop :252-288)."""
+    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+
+    @jax.jit
+    def solve(play, plev, tlay, tlev, tsfc, emis, gas_concs):
+        props, sources = gas_optics.gas_optics_lw(
+            play, plev, tlay, tsfc, gas_concs, tlev=tlev, top_at_1=top_at_1)
+        f = rte_lw(props, sources, emis[:, None],
+                   n_gauss_angles=n_gauss_angles)
+        return f.flux_up, f.flux_dn
+
+    def run_block(d, start, n):
+        sl = slice(start, start + n)
+        up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                       jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
+                       jnp.asarray(d.sfc_t[sl]), jnp.asarray(d.sfc_emis[sl]),
+                       d.gas_concs.get_subset(start, n))
+        return np.asarray(up), np.asarray(dn)
+
+    return _block_map(run_block, data, block_size)
+
+
+def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """SW clear-sky fluxes (rsu, rsd), each (ncol, nlay+1)
+    (reference rrtmgp_rfmip_sw.F90 block loop :258-330): TOA flux is
+    renormalized to the file's TSI; nighttime columns (sza >= 90) are
+    solved with mu0=1 then zeroed, as the reference does."""
+    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+    deg_to_rad = np.pi / 180.0
+
+    @jax.jit
+    def solve(play, plev, tlay, alb, tsi, sza, gas_concs):
+        props, toa = gas_optics.gas_optics_sw(play, plev, tlay, gas_concs,
+                                              top_at_1=top_at_1)
+        def_tsi = jnp.sum(toa, axis=-1, keepdims=True)
+        toa = toa * (tsi[:, None] / def_tsi)        # TSI normalization
+        usecol = sza < 90.0 - 2.0 * jnp.finfo(sza.dtype).eps * 90.0
+        mu0 = jnp.where(usecol, jnp.cos(sza * deg_to_rad), 1.0)
+        f = rte_sw(props, mu0, toa, alb[:, None], alb[:, None])
+        mask = usecol[:, None].astype(f.flux_up.dtype)
+        return f.flux_up * mask, f.flux_dn * mask
+
+    def run_block(d, start, n):
+        sl = slice(start, start + n)
+        up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                       jnp.asarray(d.tlay[sl]), jnp.asarray(d.sfc_alb[sl]),
+                       jnp.asarray(d.tsi[sl]), jnp.asarray(d.sza[sl]),
+                       d.gas_concs.get_subset(start, n))
+        return np.asarray(up), np.asarray(dn)
+
+    return _block_map(run_block, data, block_size)
+
+
+def unblock(data: RFMIPData, flux: np.ndarray) -> np.ndarray:
+    """(ncol, nlev) -> (nexp, nsite, nlev) (reference unblock_and_write,
+    mo_rfmip_io.F90:444-477)."""
+    nlev = flux.shape[-1]
+    return np.asarray(flux).reshape(data.nexp, data.nsite, nlev)
+
+
+def write_fluxes(path: str, varname: str, data: RFMIPData, flux) -> None:
+    """Write fluxes as netCDF-3 with RFMIP dims (expt, site, level)."""
+    from scipy.io import netcdf_file
+    arr = unblock(data, flux)
+    with netcdf_file(path, "w") as f:
+        f.createDimension("expt", data.nexp)
+        f.createDimension("site", data.nsite)
+        f.createDimension("level", arr.shape[-1])
+        v = f.createVariable(varname, np.float64, ("expt", "site", "level"))
+        v[:] = arr.astype(np.float64)

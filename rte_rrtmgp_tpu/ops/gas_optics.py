@@ -100,8 +100,10 @@ def interpolation(play, tlay, col_gas, *,
     jtemp = jtemp1 - 1                                          # 0-based
 
     # --- pressure index/fraction (reference :111-114) ---
+    # float(...) keeps the constant weakly typed: a numpy float64 scalar
+    # would promote the whole tau computation under jax_enable_x64
     locpress = jax.lax.optimization_barrier(
-        1.0 + (jnp.log(play) - press_ref_log[0]) / press_ref_log_delta)
+        1.0 + (jnp.log(play) - float(press_ref_log[0])) / press_ref_log_delta)
     jpress_f = jnp.clip(jnp.trunc(locpress), 1.0, float(npres - 1))
     fpress = locpress - jpress_f
     jpress = jpress_f.astype(jnp.int32) - 1                     # 0-based

@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .solver_lw import adding
 
@@ -66,8 +67,11 @@ def sw_dif_and_source(tau, w0, g, mu0, inc_flux_dir, sfc_alb_dir):
     """
     dtype = tau.dtype
     eps = jnp.finfo(dtype).eps
-    min_k = 1.0e4 * eps
-    min_mu0 = jnp.sqrt(eps)
+    # keep scalar constants in the working dtype: a bare `1e4 * eps` is a
+    # float64 numpy scalar under jax_enable_x64 and would promote the
+    # whole solve
+    min_k = jnp.asarray(1.0e4 * eps, dtype)
+    min_mu0 = jnp.asarray(np.sqrt(eps), dtype)
 
     mu0e = mu0[:, :, None]
     gamma1 = (8.0 - w0 * (5.0 + 3.0 * g)) * 0.25

@@ -63,6 +63,16 @@ class NCFile:
             return np.array(self._nc.variables[name][:])
         return np.array(self._h5[name][...])
 
+    def attr(self, var: str, name: str, default=None):
+        """Attribute of a variable (e.g. 'units'), decoded to str."""
+        if self._nc is not None:
+            val = getattr(self._nc.variables[var], name, default)
+        else:
+            val = self._h5[var].attrs.get(name, default)
+        if isinstance(val, bytes):
+            val = val.decode()
+        return val
+
     def strings(self, name: str) -> list:
         """Character-array variable -> list of python strings."""
         raw = self.var(name)

@@ -108,6 +108,23 @@ sw_dn = np.asarray(fsw2.flux_dn)
 check("SW fluxes finite, net down > 0", np.all(np.isfinite(sw_up))
       and np.all(sw_dn[:, -1] > sw_up[:, -1]))
 
+# ---- 3b. RFMIP clear-sky driver (synthetic problem) -------------------------
+print("[3b] RFMIP clear-sky driver")
+from rte_rrtmgp_tpu.drivers.rfmip import synthetic_rfmip, rfmip_lw, rfmip_sw, unblock
+
+rf = synthetic_rfmip(16, 40, 4)
+kd_lw_s = synthetic_kdist(sw=False, ngpt=64, nbnd=8, ntemp=8, npres=20)
+kd_sw_s = synthetic_kdist(sw=True, ngpt=64, nbnd=8, ntemp=8, npres=20)
+rlu, rld = rfmip_lw(rf, GasOpticsRRTMGP(kd_lw_s))
+rsu, rsd = rfmip_sw(rf, GasOpticsRRTMGP(kd_sw_s))
+check("RFMIP LW shapes + finite", rlu.shape == (64, 41) and np.all(np.isfinite(rlu)))
+night = rf.sza >= 90.0 - 2e-5
+check("RFMIP SW night zeroed, day TSI-normalized",
+      np.all(rsu[night] == 0.0) and np.allclose(
+          rsd[~night][:, 0], rf.tsi[~night] * np.cos(np.deg2rad(rf.sza[~night])),
+          rtol=1e-4))
+check("RFMIP unblock shape", unblock(rf, rlu).shape == (4, 16, 41))
+
 # ---- 4. sharding equivalence handled by tests/dryrun (CPU mesh) -------------
 # (run in pytest suite; here probe error paths eagerly)
 print("[4] eager error paths")
