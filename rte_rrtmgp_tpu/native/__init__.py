@@ -1,0 +1,265 @@
+"""Native C++ kernel tier: ctypes bindings over the extern C ABI.
+
+The reference exposes its kernels through a C ABI so host models can swap
+implementations (rte/kernels/api/, cbind_generator.py, CMake
+``RTE_KERNEL_MODE=extern``). This package is the framework's equivalent:
+``native/`` holds C++ implementations of the RTE solver/optical-props/flux
+kernels with the same symbol names and array-layout contract, and this
+module builds (cmake+ninja, cached) and binds them for CPU execution —
+e.g. for host models that cannot run JAX, or for cross-checking the
+TPU path against an independent compiled implementation.
+
+Arrays here are numpy, Fortran-layout contract (columns fastest): a field
+documented (ncol, nlay, ngpt) is passed as a numpy array of that shape in
+Fortran order (``np.asfortranarray``). Wrappers handle the conversion.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["build", "load", "available", "NativeKernels"]
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+
+_libs = {}
+
+
+def build(force: bool = False) -> str:
+    """Build the native libraries (cmake + ninja or make), cached."""
+    lib32 = os.path.join(_BUILD_DIR, "librte_kernels_f32.so")
+    if os.path.exists(lib32) and not force:
+        return _BUILD_DIR
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    gen = []
+    try:
+        subprocess.run(["ninja", "--version"], capture_output=True, check=True)
+        gen = ["-G", "Ninja"]
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    subprocess.run(["cmake", *gen, ".."], cwd=_BUILD_DIR, check=True,
+                   capture_output=True)
+    subprocess.run(["cmake", "--build", ".", "-j"], cwd=_BUILD_DIR,
+                   check=True, capture_output=True)
+    return _BUILD_DIR
+
+
+def available() -> bool:
+    try:
+        build()
+        return True
+    except Exception:
+        return False
+
+
+def load(dtype=np.float32) -> "NativeKernels":
+    """Load (building if needed) the kernel library for a working dtype."""
+    dt = np.dtype(dtype)
+    key = {"float32": "f32", "float64": "f64"}[dt.name]
+    if key not in _libs:
+        build()
+        lib = ctypes.CDLL(os.path.join(_BUILD_DIR, f"librte_kernels_{key}.so"))
+        _libs[key] = NativeKernels(lib, dt)
+    return _libs[key]
+
+
+class NativeKernels:
+    """numpy-facing wrappers over the C ABI for one working precision."""
+
+    def __init__(self, lib: ctypes.CDLL, dtype: np.dtype):
+        self.lib = lib
+        self.dtype = dtype
+
+    # ------------------------------------------------------------------
+    def _f(self, a, shape=None):
+        """To Fortran-ordered working-precision array."""
+        a = np.asfortranarray(np.asarray(a, self.dtype))
+        if shape is not None and a.shape != shape:
+            raise ValueError(f"native: expected shape {shape}, got {a.shape}")
+        return a
+
+    @staticmethod
+    def _p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) \
+            if a.dtype == np.float32 else \
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    @staticmethod
+    def _ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    def _out(self, *shape):
+        return np.zeros(shape, self.dtype, order="F")
+
+    # ------------------------------------------------------------------
+    def lw_solver_noscat(self, tau, lay_source, lev_source, sfc_emis,
+                         sfc_src, inc_flux, *, top_at_1, ds, weights,
+                         sfc_src_jac=None, ssa=None, g=None,
+                         do_rescaling=False, do_jacobians=False,
+                         broadband=True):
+        ncol, nlay, ngpt = tau.shape
+        nmus = len(weights)
+        tau = self._f(tau)
+        lay = self._f(lay_source)
+        lev = self._f(lev_source, (ncol, nlay + 1, ngpt))
+        emis = self._f(sfc_emis, (ncol, ngpt))
+        ssrc = self._f(sfc_src, (ncol, ngpt))
+        inc = self._f(inc_flux, (ncol, ngpt))
+        ds = self._f(np.broadcast_to(
+            np.asarray(ds, self.dtype).reshape(nmus, 1, 1),
+            (nmus, ncol, ngpt)).transpose(1, 2, 0))
+        wts = self._f(np.asarray(weights))
+        jac_src = self._f(sfc_src_jac if sfc_src_jac is not None
+                          else np.zeros((ncol, ngpt)), (ncol, ngpt))
+        ssa_a = self._f(ssa if ssa is not None else np.zeros_like(tau))
+        g_a = self._f(g if g is not None else np.zeros_like(tau))
+
+        if broadband:
+            bb_up = self._out(ncol, nlay + 1)
+            bb_dn = self._out(ncol, nlay + 1)
+            sp_up = sp_dn = self._out(1, 1, 1)
+        else:
+            sp_up = self._out(ncol, nlay + 1, ngpt)
+            sp_dn = self._out(ncol, nlay + 1, ngpt)
+            bb_up = bb_dn = self._out(1, 1)
+        jac = self._out(ncol, nlay + 1)
+
+        self.lib.rte_lw_solver_noscat(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            ctypes.c_bool(top_at_1), ctypes.c_int(nmus),
+            self._p(ds), self._p(wts), self._p(tau), self._p(lay),
+            self._p(lev), self._p(emis), self._p(ssrc), self._p(inc),
+            self._p(sp_up), self._p(sp_dn),
+            ctypes.c_bool(broadband), self._p(bb_up), self._p(bb_dn),
+            ctypes.c_bool(do_jacobians), self._p(jac_src), self._p(jac),
+            ctypes.c_bool(do_rescaling), self._p(ssa_a), self._p(g_a))
+        if broadband:
+            return (bb_up, bb_dn, jac if do_jacobians else None)
+        return (sp_up, sp_dn, jac if do_jacobians else None)
+
+    def lw_solver_2stream(self, tau, ssa, g, lay_source, lev_source,
+                          sfc_emis, sfc_src, inc_flux, *, top_at_1):
+        ncol, nlay, ngpt = tau.shape
+        fu = self._out(ncol, nlay + 1, ngpt)
+        fd = self._out(ncol, nlay + 1, ngpt)
+        self.lib.rte_lw_solver_2stream(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            ctypes.c_bool(top_at_1), self._p(self._f(tau)),
+            self._p(self._f(ssa)), self._p(self._f(g)),
+            self._p(self._f(lay_source)),
+            self._p(self._f(lev_source, (ncol, nlay + 1, ngpt))),
+            self._p(self._f(sfc_emis, (ncol, ngpt))),
+            self._p(self._f(sfc_src, (ncol, ngpt))),
+            self._p(self._f(inc_flux, (ncol, ngpt))),
+            self._p(fu), self._p(fd))
+        return fu, fd
+
+    def sw_solver_noscat(self, tau, mu0, inc_flux_dir, *, top_at_1):
+        ncol, nlay, ngpt = tau.shape
+        fdir = self._out(ncol, nlay + 1, ngpt)
+        self.lib.rte_sw_solver_noscat(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            ctypes.c_bool(top_at_1), self._p(self._f(tau)),
+            self._p(self._f(mu0, (ncol, nlay))),
+            self._p(self._f(inc_flux_dir, (ncol, ngpt))), self._p(fdir))
+        return fdir
+
+    def sw_solver_2stream(self, tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                          inc_flux_dir, *, top_at_1, inc_flux_dif=None,
+                          broadband=True):
+        ncol, nlay, ngpt = tau.shape
+        has_dif = inc_flux_dif is not None
+        dif = self._f(inc_flux_dif if has_dif else np.zeros((ncol, ngpt)),
+                      (ncol, ngpt))
+        if broadband:
+            bu = self._out(ncol, nlay + 1)
+            bd = self._out(ncol, nlay + 1)
+            br = self._out(ncol, nlay + 1)
+            su = sd = sr = self._out(1, 1, 1)
+        else:
+            su = self._out(ncol, nlay + 1, ngpt)
+            sd = self._out(ncol, nlay + 1, ngpt)
+            sr = self._out(ncol, nlay + 1, ngpt)
+            bu = bd = br = self._out(1, 1)
+        self.lib.rte_sw_solver_2stream(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            ctypes.c_bool(top_at_1), self._p(self._f(tau)),
+            self._p(self._f(ssa)), self._p(self._f(g)),
+            self._p(self._f(mu0, (ncol, nlay))),
+            self._p(self._f(sfc_alb_dir, (ncol, ngpt))),
+            self._p(self._f(sfc_alb_dif, (ncol, ngpt))),
+            self._p(self._f(inc_flux_dir, (ncol, ngpt))),
+            self._p(su), self._p(sd), self._p(sr),
+            ctypes.c_bool(has_dif), self._p(dif),
+            ctypes.c_bool(broadband), self._p(bu), self._p(bd), self._p(br))
+        return (bu, bd, br) if broadband else (su, sd, sr)
+
+    # ------------------------------------------------------------------
+    def delta_scale(self, tau, ssa, g, f=None):
+        ncol, nlay, ngpt = tau.shape
+        tau = self._f(tau).copy(order="F")
+        ssa = self._f(ssa).copy(order="F")
+        g = self._f(g).copy(order="F")
+        if f is None:
+            self.lib.rte_delta_scale_2str_k(
+                ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+                self._p(tau), self._p(ssa), self._p(g))
+        else:
+            self.lib.rte_delta_scale_2str_f_k(
+                ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+                self._p(tau), self._p(ssa), self._p(g),
+                self._p(self._f(f)))
+        return tau, ssa, g
+
+    def increment_2stream_by_2stream(self, tau1, ssa1, g1, tau2, ssa2, g2):
+        ncol, nlay, ngpt = tau1.shape
+        tau1 = self._f(tau1).copy(order="F")
+        ssa1 = self._f(ssa1).copy(order="F")
+        g1 = self._f(g1).copy(order="F")
+        self.lib.rte_increment_2stream_by_2stream(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            self._p(tau1), self._p(ssa1), self._p(g1),
+            self._p(self._f(tau2)), self._p(self._f(ssa2)),
+            self._p(self._f(g2)))
+        return tau1, ssa1, g1
+
+    def inc_2stream_by_2stream_bybnd(self, tau1, ssa1, g1, tau2, ssa2, g2,
+                                     band_lims_gpt):
+        ncol, nlay, ngpt = tau1.shape
+        lims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)
+        nbnd = lims.shape[1]
+        tau1 = self._f(tau1).copy(order="F")
+        ssa1 = self._f(ssa1).copy(order="F")
+        g1 = self._f(g1).copy(order="F")
+        self.lib.rte_inc_2stream_by_2stream_bybnd(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            self._p(tau1), self._p(ssa1), self._p(g1),
+            self._p(self._f(tau2)), self._p(self._f(ssa2)),
+            self._p(self._f(g2)), ctypes.c_int(nbnd), self._ip(lims))
+        return tau1, ssa1, g1
+
+    # ------------------------------------------------------------------
+    def sum_broadband(self, spectral_flux):
+        ncol, nlev, ngpt = spectral_flux.shape
+        out = self._out(ncol, nlev)
+        self.lib.rte_sum_broadband(
+            ctypes.c_int(ncol), ctypes.c_int(nlev), ctypes.c_int(ngpt),
+            self._p(self._f(spectral_flux)), self._p(out))
+        return out
+
+    def sum_byband(self, spectral_flux, band_lims_gpt):
+        ncol, nlev, ngpt = spectral_flux.shape
+        lims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)
+        nbnd = lims.shape[1]
+        out = self._out(ncol, nlev, nbnd)
+        self.lib.rte_sum_byband(
+            ctypes.c_int(ncol), ctypes.c_int(nlev), ctypes.c_int(ngpt),
+            ctypes.c_int(nbnd), self._ip(lims),
+            self._p(self._f(spectral_flux)), self._p(out))
+        return out

@@ -125,6 +125,23 @@ check("RFMIP SW night zeroed, day TSI-normalized",
           rtol=1e-4))
 check("RFMIP unblock shape", unblock(rf, rlu).shape == (4, 16, 41))
 
+# ---- 3c. native C++ kernel tier (extern C ABI) -------------------------------
+print("[3c] native C++ kernel tier")
+try:
+    from rte_rrtmgp_tpu import native as rtenative
+    nk = rtenative.load(np.float32)
+    up_n, dn_n, _ = nk.lw_solver_noscat(
+        np.asarray(props.tau), np.asarray(src.lay_source),
+        np.asarray(src.lev_source), np.full((ncol, 1), 1.0, np.float32),
+        np.asarray(src.sfc_source), np.zeros((ncol, 1), np.float32),
+        top_at_1=True, ds=np.asarray([1.0 / 0.6096748751]), weights=(1.0,),
+        broadband=True)
+    check("native LW matches analytic OLR",
+          np.allclose(up_n[:, 0], olr_ref, atol=3.5e-1),
+          f"max err {np.max(np.abs(up_n[:, 0] - olr_ref)):.2e} W/m2")
+except Exception as e:
+    check("native LW matches analytic OLR", False, f"{type(e).__name__}: {e}")
+
 # ---- 4. sharding equivalence handled by tests/dryrun (CPU mesh) -------------
 # (run in pytest suite; here probe error paths eagerly)
 print("[4] eager error paths")

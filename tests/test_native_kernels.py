@@ -1,0 +1,191 @@
+"""Native C++ kernel tier vs the JAX reference implementations.
+
+The C++ tier (native/, extern C ABI mirroring the reference's
+RTE_KERNEL_MODE=extern interface) must agree with the JAX ops on random
+problems — an independent-implementation cross-check of both.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rte_rrtmgp_tpu.ops.solver_lw import (GAUSS_DS, GAUSS_WTS,
+                                          lw_solver_noscat, lw_solver_2stream)
+from rte_rrtmgp_tpu.ops.solver_sw import sw_solver_2stream, sw_solver_noscat
+from rte_rrtmgp_tpu.optical_props import (OpticalProps2str, delta_scale,
+                                          increment)
+from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+native = pytest.importorskip("rte_rrtmgp_tpu.native")
+if not native.available():
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+NCOL, NLAY, NGPT = 5, 9, 8
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", params=[np.float32, np.float64])
+def nk(request):
+    return native.load(request.param)
+
+
+def _rand(*shape, lo=0.0, hi=1.0):
+    return RNG.uniform(lo, hi, shape)
+
+
+def _lw_problem():
+    tau = _rand(NCOL, NLAY, NGPT, lo=1e-3, hi=3.0)
+    lay = _rand(NCOL, NLAY, NGPT, lo=10, hi=60)
+    lev = _rand(NCOL, NLAY + 1, NGPT, lo=10, hi=60)
+    emis = _rand(NCOL, NGPT, lo=0.9, hi=1.0)
+    src = _rand(NCOL, NGPT, lo=30, hi=80)
+    jac = _rand(NCOL, NGPT, lo=0.1, hi=1.0)
+    inc = _rand(NCOL, NGPT, lo=0.0, hi=5.0)
+    return tau, lay, lev, emis, src, jac, inc
+
+
+@pytest.mark.parametrize("top_at_1", [True, False])
+@pytest.mark.parametrize("nmus", [1, 3])
+def test_lw_noscat_matches_jax(nk, top_at_1, nmus):
+    tau, lay, lev, emis, src, jac, inc = _lw_problem()
+    ref = lw_solver_noscat(
+        jnp.asarray(tau), jnp.asarray(lay), jnp.asarray(lev),
+        jnp.asarray(emis), jnp.asarray(src), jnp.asarray(inc),
+        top_at_1=top_at_1, ds=np.asarray(GAUSS_DS[nmus - 1]),
+        weights=GAUSS_WTS[nmus - 1], sfc_src_jac=jnp.asarray(jac),
+        do_jacobians=True)
+    up, dn, upjac = nk.lw_solver_noscat(
+        tau, lay, lev, emis, src, inc, top_at_1=top_at_1,
+        ds=np.asarray(GAUSS_DS[nmus - 1]), weights=GAUSS_WTS[nmus - 1],
+        sfc_src_jac=jac, do_jacobians=True, broadband=True)
+    rtol = 2e-5 if nk.dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(up, np.asarray(ref.flux_up), rtol=rtol, atol=1e-4)
+    np.testing.assert_allclose(dn, np.asarray(ref.flux_dn), rtol=rtol, atol=1e-4)
+    np.testing.assert_allclose(upjac, np.asarray(ref.flux_up_jac),
+                               rtol=rtol, atol=1e-5)
+
+
+def test_lw_noscat_rescaling_matches_jax(nk):
+    tau, lay, lev, emis, src, jac, inc = _lw_problem()
+    ssa = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.7)
+    g = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.8)
+    ref = lw_solver_noscat(
+        jnp.asarray(tau), jnp.asarray(lay), jnp.asarray(lev),
+        jnp.asarray(emis), jnp.asarray(src), jnp.asarray(inc),
+        top_at_1=True, ds=np.asarray(GAUSS_DS[0]), weights=GAUSS_WTS[0],
+        ssa=jnp.asarray(ssa), g=jnp.asarray(g), do_rescaling=True)
+    up, dn, _ = nk.lw_solver_noscat(
+        tau, lay, lev, emis, src, inc, top_at_1=True,
+        ds=np.asarray(GAUSS_DS[0]), weights=GAUSS_WTS[0],
+        ssa=ssa, g=g, do_rescaling=True, broadband=True)
+    rtol = 2e-5 if nk.dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(up, np.asarray(ref.flux_up), rtol=rtol, atol=1e-4)
+    np.testing.assert_allclose(dn, np.asarray(ref.flux_dn), rtol=rtol, atol=1e-4)
+
+
+@pytest.mark.parametrize("top_at_1", [True, False])
+def test_lw_2stream_matches_jax(nk, top_at_1):
+    tau, lay, lev, emis, src, _, inc = _lw_problem()
+    ssa = _rand(NCOL, NLAY, NGPT, lo=0.05, hi=0.7)
+    g = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.8)
+    ref = lw_solver_2stream(
+        jnp.asarray(tau), jnp.asarray(ssa), jnp.asarray(g),
+        jnp.asarray(lay), jnp.asarray(lev), jnp.asarray(emis),
+        jnp.asarray(src), jnp.asarray(inc), top_at_1=top_at_1, spectral=True)
+    fu, fd = nk.lw_solver_2stream(tau, ssa, g, lay, lev, emis, src, inc,
+                                  top_at_1=top_at_1)
+    rtol = 5e-5 if nk.dtype == np.float32 else 1e-11
+    np.testing.assert_allclose(fu, np.asarray(ref.flux_up), rtol=rtol, atol=1e-3)
+    np.testing.assert_allclose(fd, np.asarray(ref.flux_dn), rtol=rtol, atol=1e-3)
+
+
+@pytest.mark.parametrize("top_at_1", [True, False])
+def test_sw_2stream_matches_jax(nk, top_at_1):
+    tau = _rand(NCOL, NLAY, NGPT, lo=1e-3, hi=2.0)
+    ssa = _rand(NCOL, NLAY, NGPT, lo=0.1, hi=0.99)
+    g = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.85)
+    mu0 = np.broadcast_to(_rand(NCOL, 1, lo=-0.2, hi=1.0),
+                          (NCOL, NLAY)).copy()
+    alb_dir = _rand(NCOL, NGPT, lo=0.0, hi=0.4)
+    alb_dif = _rand(NCOL, NGPT, lo=0.0, hi=0.4)
+    inc = _rand(NCOL, NGPT, lo=1.0, hi=8.0)
+    dif = _rand(NCOL, NGPT, lo=0.0, hi=1.0)
+    ref = sw_solver_2stream(
+        jnp.asarray(tau), jnp.asarray(ssa), jnp.asarray(g), jnp.asarray(mu0),
+        jnp.asarray(alb_dir), jnp.asarray(alb_dif), jnp.asarray(inc),
+        top_at_1=top_at_1, inc_flux_dif=jnp.asarray(dif))
+    bu, bd, br = nk.sw_solver_2stream(tau, ssa, g, mu0, alb_dir, alb_dif,
+                                      inc, top_at_1=top_at_1,
+                                      inc_flux_dif=dif, broadband=True)
+    rtol = 5e-5 if nk.dtype == np.float32 else 1e-11
+    np.testing.assert_allclose(bu, np.asarray(ref.flux_up), rtol=rtol, atol=1e-3)
+    np.testing.assert_allclose(bd, np.asarray(ref.flux_dn), rtol=rtol, atol=1e-3)
+    np.testing.assert_allclose(br, np.asarray(ref.flux_dir), rtol=rtol, atol=1e-3)
+
+
+def test_sw_noscat_matches_jax(nk):
+    tau = _rand(NCOL, NLAY, NGPT, lo=1e-3, hi=2.0)
+    mu0 = np.broadcast_to(_rand(NCOL, 1, lo=0.1, hi=1.0), (NCOL, NLAY)).copy()
+    inc = _rand(NCOL, NGPT, lo=1.0, hi=8.0)
+    ref = sw_solver_noscat(jnp.asarray(tau), jnp.asarray(mu0),
+                           jnp.asarray(inc), top_at_1=True)
+    fdir = nk.sw_solver_noscat(tau, mu0, inc, top_at_1=True)
+    rtol = 2e-5 if nk.dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(fdir, np.asarray(ref), rtol=rtol, atol=1e-5)
+
+
+def test_optical_props_ops_match_jax(nk):
+    grid = SpectralGrid.from_arrays(
+        np.stack([np.arange(4) * 100.0, (np.arange(4) + 1) * 100.0], 1),
+        np.stack([np.arange(4) * 2 + 1, np.arange(4) * 2 + 2], 1))
+    tau1 = _rand(NCOL, NLAY, NGPT, lo=0.01, hi=2.0)
+    ssa1 = _rand(NCOL, NLAY, NGPT, lo=0.1, hi=0.9)
+    g1 = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.8)
+    tau2 = _rand(NCOL, NLAY, NGPT, lo=0.01, hi=2.0)
+    ssa2 = _rand(NCOL, NLAY, NGPT, lo=0.1, hi=0.9)
+    g2 = _rand(NCOL, NLAY, NGPT, lo=0.0, hi=0.8)
+
+    # delta scale
+    p = OpticalProps2str(tau=jnp.asarray(tau1), ssa=jnp.asarray(ssa1),
+                         g=jnp.asarray(g1), grid=grid, top_at_1=True)
+    ref = delta_scale(p)
+    t, s, gg = nk.delta_scale(tau1, ssa1, g1)
+    rtol = 2e-5 if nk.dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(t, np.asarray(ref.tau), rtol=rtol)
+    np.testing.assert_allclose(s, np.asarray(ref.ssa), rtol=rtol, atol=1e-6)
+    np.testing.assert_allclose(gg, np.asarray(ref.g), rtol=rtol, atol=1e-6)
+
+    # increment (same grid)
+    p2 = OpticalProps2str(tau=jnp.asarray(tau2), ssa=jnp.asarray(ssa2),
+                          g=jnp.asarray(g2), grid=grid, top_at_1=True)
+    ref_inc = increment(p, p2)
+    t, s, gg = nk.increment_2stream_by_2stream(tau1, ssa1, g1, tau2, ssa2, g2)
+    np.testing.assert_allclose(t, np.asarray(ref_inc.tau), rtol=rtol)
+    np.testing.assert_allclose(s, np.asarray(ref_inc.ssa), rtol=rtol, atol=1e-6)
+    np.testing.assert_allclose(gg, np.asarray(ref_inc.g), rtol=rtol, atol=1e-6)
+
+    # by-band increment: band fields expanded by the JAX path
+    nbnd = grid.nband
+    tau_b = _rand(NCOL, NLAY, nbnd, lo=0.01, hi=1.0)
+    ssa_b = _rand(NCOL, NLAY, nbnd, lo=0.1, hi=0.9)
+    g_b = _rand(NCOL, NLAY, nbnd, lo=0.0, hi=0.8)
+    band_grid = SpectralGrid.from_arrays(grid.band_lims_wvn_array)
+    pb = OpticalProps2str(tau=jnp.asarray(tau_b), ssa=jnp.asarray(ssa_b),
+                          g=jnp.asarray(g_b),
+                          grid=band_grid, top_at_1=True)
+    ref_bb = increment(p, pb)
+    t, s, gg = nk.inc_2stream_by_2stream_bybnd(
+        tau1, ssa1, g1, tau_b, ssa_b, g_b, grid.band_lims_gpt_array)
+    np.testing.assert_allclose(t, np.asarray(ref_bb.tau), rtol=rtol)
+    np.testing.assert_allclose(s, np.asarray(ref_bb.ssa), rtol=rtol, atol=1e-6)
+    np.testing.assert_allclose(gg, np.asarray(ref_bb.g), rtol=rtol, atol=1e-6)
+
+
+def test_flux_reductions_match(nk):
+    flux = _rand(NCOL, NLAY + 1, NGPT, lo=0.0, hi=300.0)
+    bb = nk.sum_broadband(flux)
+    np.testing.assert_allclose(bb, flux.sum(-1), rtol=2e-6, atol=1e-3)
+    lims = np.stack([np.arange(4) * 2 + 1, np.arange(4) * 2 + 2], 1)
+    byb = nk.sum_byband(flux, lims)
+    ref = flux.reshape(NCOL, NLAY + 1, 4, 2).sum(-1)
+    np.testing.assert_allclose(byb, ref, rtol=2e-6, atol=1e-3)
