@@ -1,0 +1,97 @@
+"""Multi-device sharding equivalence (8 virtual CPU devices via conftest).
+
+The reference scales by host-side column blocking and never tests
+distribution; here sharded-vs-single-device agreement is a first-class
+invariant (SURVEY.md section 4): solving on a column-sharded Mesh must
+reproduce the single-device fluxes, with no collectives on the solve path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw, allsky_step_sw,
+                                           make_allsky_inputs)
+from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+from rte_rrtmgp_tpu.parallel.mesh import (column_mesh, column_sharding,
+                                          pad_columns, shard_columns)
+from rte_rrtmgp_tpu.utils.synthetic import (synthetic_cloud_optics,
+                                            synthetic_kdist)
+
+NDEV = len(jax.devices())
+pytestmark = pytest.mark.skipif(NDEV < 2, reason="needs multi-device backend")
+
+NCOL, NLAY = 8 * NDEV, 12
+
+
+@pytest.fixture(scope="module")
+def problem():
+    kd_lw = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=5, npres=10)
+    kd_sw = synthetic_kdist(sw=True, ngpt=16, nbnd=2, ntemp=5, npres=10)
+    gas_lw = GasOpticsRRTMGP(kd_lw)
+    gas_sw = GasOpticsRRTMGP(kd_sw)
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    cld_sw = synthetic_cloud_optics(nbnd=2,
+                                    band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
+    inputs = make_allsky_inputs(NCOL, NLAY, cloud_optics=cld)
+    return gas_lw, gas_sw, cld, cld_sw, inputs
+
+
+def _shard_inputs(inputs, mesh):
+    def shardable(x):
+        return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == NCOL
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("columns", *([None] * (x.ndim - 1)))))
+        if shardable(x) else x, inputs)
+
+
+def test_lw_sharded_matches_single_device(problem):
+    gas_lw, _, cld, _, inputs = problem
+    step = jax.jit(lambda i: allsky_step_lw(i, gas_lw, cloud_optics=cld))
+    ref = step(inputs)
+
+    mesh = column_mesh()
+    sharded = _shard_inputs(inputs, mesh)
+    out = jax.jit(lambda i: allsky_step_lw(i, gas_lw, cloud_optics=cld),
+                  out_shardings=jax.tree_util.tree_map(
+                      lambda _: column_sharding(mesh), ref))(sharded)
+    assert len(out.flux_up.sharding.device_set) == NDEV
+    np.testing.assert_allclose(np.asarray(out.flux_up),
+                               np.asarray(ref.flux_up), rtol=5e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.flux_dn),
+                               np.asarray(ref.flux_dn), rtol=5e-6, atol=1e-6)
+
+
+def test_sw_sharded_matches_single_device(problem):
+    _, gas_sw, _, cld_sw, inputs = problem
+    step = jax.jit(lambda i: allsky_step_sw(i, gas_sw, cloud_optics=cld_sw))
+    ref = step(inputs)
+    mesh = column_mesh()
+    out = step(_shard_inputs(inputs, mesh))
+    np.testing.assert_allclose(np.asarray(out.flux_up),
+                               np.asarray(ref.flux_up), rtol=5e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.flux_dn_dir),
+                               np.asarray(ref.flux_dn_dir), rtol=5e-6,
+                               atol=1e-6)
+
+
+def test_shard_columns_tree(problem):
+    *_, inputs = problem
+    mesh = column_mesh()
+    sharded = shard_columns(inputs.play, mesh)
+    assert len(sharded.sharding.device_set) == NDEV
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(inputs.play))
+
+
+def test_pad_columns():
+    a = np.arange(10, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32)
+    padded, n = pad_columns(a, 8)
+    assert padded.shape == (16, 3) and n == 10
+    np.testing.assert_array_equal(padded[:10], a)
+    np.testing.assert_array_equal(padded[10:], np.broadcast_to(a[-1:], (6, 3)))
+    same, n2 = pad_columns(a[:8], 8)
+    assert same.shape == (8, 3) and n2 == 8
