@@ -9,7 +9,11 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-from scripts.timing import timeit
+from scripts.timing import timeit as _t
+
+
+def timeit(fn, *args):
+    return _t(fn, *args, reps=3, inner=4)
 
 
 def main():
