@@ -33,6 +33,11 @@ class RTEConfig:
     dtype: jnp.dtype = jnp.float32
     check_extents: bool = True
     check_values: bool = True
+    # Pallas lane-gather kernels for minor-gas/Rayleigh interpolation:
+    # None = auto (on when running on TPU and the table row domain fits
+    # the 128-lane gather), True/False = force. On non-TPU backends a
+    # forced True runs the kernels in interpreter mode (slow; testing).
+    use_pallas: bool | None = None
 
 
 _CONFIG = RTEConfig()
@@ -48,6 +53,11 @@ def set_checks(*, extents: bool | None = None, values: bool | None = None) -> No
         _CONFIG.check_extents = extents
     if values is not None:
         _CONFIG.check_values = values
+
+
+def set_use_pallas(value) -> None:
+    """Force (True/False) or restore auto (None) Pallas kernel dispatch."""
+    _CONFIG.use_pallas = value
 
 
 def set_dtype(dtype) -> None:

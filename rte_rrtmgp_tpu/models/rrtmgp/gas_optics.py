@@ -19,8 +19,11 @@ from ... import constants
 from ...gas_concs import GasConcs
 from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
 from ...sources import SourcesLW
+from ...config import get_config
 from ...ops.gas_optics import (InterpCoeffs, interpolation, planck_sources,
                                tau_major, tau_minor, tau_rayleigh)
+from ...ops.gas_optics_pallas import (lane_gather_ok, tau_minor_pallas,
+                                      tau_rayleigh_pallas)
 from ..base import infer_top_at_1
 from .kdist import KDist
 
@@ -118,10 +121,24 @@ class GasOpticsRRTMGP:
         tau, pfrac = tau_major(coeffs, kd.kmajor_x,
                                gpoint_flavor=kd.gpoint_flavor,
                                band_lims_gpt=kd.grid.band_lims_gpt_array)
-        for lower, mset, ktab in ((True, kd.minor_lower, kd.kminor_lower_x),
-                                  (False, kd.minor_upper, kd.kminor_upper_x)):
-            tau = tau_minor(
-                tau, coeffs, ktab, lower=lower,
+
+        # Pallas lane-gather kernels for the 2-D (temp x eta) lookups:
+        # auto on TPU when the row domain fits; forced via config.
+        import jax as _jax
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        cfg_pallas = get_config().use_pallas
+        use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
+                      and (on_tpu if cfg_pallas is None else cfg_pallas))
+        interpret = not on_tpu
+        ntemp_k, netam1_k = kd.temp_ref.shape[0], kd.neta - 1
+
+        for lower, mset, ktab, klane in (
+                (True, kd.minor_lower, kd.kminor_lower_x,
+                 kd.kminor_lower_lane),
+                (False, kd.minor_upper, kd.kminor_upper_x,
+                 kd.kminor_upper_lane)):
+            common = dict(
+                lower=lower,
                 minor_limits_gpt=mset.limits_gpt,
                 kminor_start=mset.kminor_start,
                 idx_minor=mset.idx_minor,
@@ -130,13 +147,27 @@ class GasOpticsRRTMGP:
                 scale_by_complement=mset.scale_by_complement,
                 minor_flavor=mset.flavor,
                 play=play, tlay=tlay, col_gas=col_gas, idx_h2o=idx_h2o)
+            if use_pallas and klane is not None:
+                tau = tau_minor_pallas(
+                    tau, coeffs, klane, ntemp=ntemp_k, netam1=netam1_k,
+                    ncont=ktab.shape[-1], interpret=interpret, **common)
+            else:
+                tau = tau_minor(tau, coeffs, ktab, **common)
 
         if kd.krayl is not None:
-            tau_ray = tau_rayleigh(coeffs, kd.krayl_x,
-                                   gpoint_flavor=kd.gpoint_flavor,
-                                   band_lims_gpt=kd.grid.band_lims_gpt_array,
-                                   col_gas=col_gas,
-                                   col_dry=col_dry_w, idx_h2o=idx_h2o)
+            if use_pallas and kd.krayl_lane is not None:
+                tau_ray = tau_rayleigh_pallas(
+                    coeffs, kd.krayl_lane, ntemp=ntemp_k, netam1=netam1_k,
+                    gpoint_flavor=kd.gpoint_flavor,
+                    band_lims_gpt=kd.grid.band_lims_gpt_array,
+                    col_gas=col_gas, col_dry=col_dry_w, idx_h2o=idx_h2o,
+                    interpret=interpret)
+            else:
+                tau_ray = tau_rayleigh(
+                    coeffs, kd.krayl_x,
+                    gpoint_flavor=kd.gpoint_flavor,
+                    band_lims_gpt=kd.grid.band_lims_gpt_array,
+                    col_gas=col_gas, col_dry=col_dry_w, idx_h2o=idx_h2o)
             # combine_abs_and_rayleigh (reference :1954-2036)
             t = tau + tau_ray
             tiny = jnp.finfo(t.dtype).tiny

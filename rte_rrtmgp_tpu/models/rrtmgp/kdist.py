@@ -110,6 +110,13 @@ class KDist:
     kminor_upper_x: Optional[jax.Array] = None  # corner axis = de
     krayl_x: Optional[jax.Array] = None  # (ntemp, neta-1, 2, 2, ngpt):
                                          # [jt, je, itropo, de, g]
+    # lane-gather tables (Pallas kernels, ops/pallas/minor_gather.py):
+    # the (jtemp, jeta) row domain ntemp*(neta-1) goes on the 128-lane
+    # axis, payload on sublanes
+    kminor_lower_lane: Optional[jax.Array] = None  # (2*ncont, 128)
+    kminor_upper_lane: Optional[jax.Array] = None
+    krayl_lane: Optional[jax.Array] = None         # (2*2*ngpt, 128)
+    lane_rows: int = 0                             # = ntemp*(neta-1)
 
     # ------------------------------------------------------------------
     @property
@@ -294,6 +301,23 @@ class KDist:
             return np.stack([tab[:, de:neta_t - 1 + de] for de in (0, 1)],
                             axis=2)
 
+        ntemp_k = np.asarray(kmajor).shape[0]
+        netam1_k = np.asarray(kmajor).shape[1] - 1
+        lane_rows = ntemp_k * netam1_k
+
+        def lane_pad(t2):
+            """(payload, rows) -> (payload, 128) lane table."""
+            if lane_rows > 128:
+                return None
+            pad = 128 - t2.shape[1]
+            return jnp.asarray(np.pad(t2, ((0, 0), (0, pad))), dtype)
+
+        def kminor_lane_of(kx_np):
+            # (ntemp, netam1, de, ncont) -> rows [de*ncont + c], lanes
+            # [jt*netam1 + je]
+            t = np.transpose(kx_np, (2, 3, 0, 1))
+            return lane_pad(t.reshape(t.shape[0] * t.shape[1], lane_rows))
+
         mlow, klow = reduce_minor(kminor_lower, minor_gases_lower,
                                   minor_limits_gpt_lower,
                                   minor_scales_with_density_lower,
@@ -324,15 +348,19 @@ class KDist:
         mupp = dataclasses.replace(mupp, flavor=tuple(
             int(gpoint_flavor[1, g0]) for (g0, _) in mupp.limits_gpt))
 
-        krayl = krayl_x = None
+        krayl = krayl_x = krayl_lane = None
         if rayl_lower is not None:
             if rayl_upper is None:
                 raise ValueError("rayl_lower and rayl_upper must both be provided")
             krayl = jnp.asarray(np.stack([rayl_lower, rayl_upper], axis=-1), dtype)
             # [jt, je, itropo, de, g]
-            krayl_x = jnp.asarray(np.stack(
+            rx = np.stack(
                 [corner_expand_eta(rayl_lower), corner_expand_eta(rayl_upper)],
-                axis=2), dtype)
+                axis=2)
+            krayl_x = jnp.asarray(rx, dtype)
+            # rows [(atm*2 + de)*ngpt + g], lanes [jt*netam1 + je]
+            rt = np.transpose(rx, (2, 3, 4, 0, 1))
+            krayl_lane = lane_pad(rt.reshape(-1, lane_rows))
 
         # corner-expanded major table: one row per (jt, je, jp) base carries
         # all four (press, eta) corners; LW packs planck_frac alongside so
@@ -395,6 +423,10 @@ class KDist:
             kminor_lower_x=kminor_x_of(klow),
             kminor_upper_x=kminor_x_of(kupp),
             krayl_x=krayl_x,
+            kminor_lower_lane=kminor_lane_of(corner_expand_eta(klow)),
+            kminor_upper_lane=kminor_lane_of(corner_expand_eta(kupp)),
+            krayl_lane=krayl_lane,
+            lane_rows=lane_rows,
         )
         if sq is not None:
             kd = kd.with_solar_variability(

@@ -1,0 +1,154 @@
+"""Pallas-accelerated minor-gas and Rayleigh optical depths.
+
+Same contracts as :func:`ops.gas_optics.tau_minor` /
+:func:`tau_rayleigh`, dispatched to the VMEM-resident lane-gather kernels
+in :mod:`ops.pallas.minor_gather` when the (jtemp, jeta) row domain fits
+the 128-lane gather. Input preparation (interpolation rows, eta weights,
+per-gas scaling with the atmosphere mask) happens in XLA; the kernels do
+only the table fetch + weighting; outputs come back (ngpt, ncell) and are
+transposed here.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gas_optics import InterpCoeffs
+from .pallas.minor_gather import (minor_contributions_lane, rayleigh_k_lane,
+                                  supported)
+
+__all__ = ["tau_minor_pallas", "tau_rayleigh_pallas", "lane_gather_ok"]
+
+
+def lane_gather_ok(ntemp: int, netam1: int) -> bool:
+    return supported(ntemp, netam1)
+
+
+def _flavor_groups(flavors):
+    groups = {}
+    for m, f in enumerate(flavors):
+        groups.setdefault(int(f), []).append(m)
+    return groups
+
+
+def _idx_fm(coeffs: InterpCoeffs, netam1: int, flavs):
+    """Interpolation rows and eta weights per (group flavor, itemp[, deta]),
+    flattened over cells."""
+    ncell = coeffs.jtemp.size
+    idx_rows, fm_rows = [], []
+    for f in flavs:
+        for it in range(2):
+            rows = (coeffs.jtemp + it) * netam1 + coeffs.jeta[it, f]
+            idx_rows.append(rows.reshape(ncell))
+            fm_rows.append(coeffs.fminor[it, 0, f].reshape(ncell))
+            fm_rows.append(coeffs.fminor[it, 1, f].reshape(ncell))
+    return (jnp.stack(idx_rows, 0).astype(jnp.int32),
+            jnp.stack(fm_rows, 0))
+
+
+def tau_minor_pallas(tau, coeffs: InterpCoeffs, table_lane, *, lower: bool,
+                     ntemp: int, netam1: int, ncont: int,
+                     minor_limits_gpt, kminor_start, idx_minor,
+                     idx_minor_scaling, minor_scales_with_density,
+                     scale_by_complement, minor_flavor,
+                     play, tlay, col_gas, idx_h2o: int,
+                     interpret: bool = False):
+    """Minor-gas optical depths via the lane-gather kernel (reference
+    gas_optical_depths_minor, kernels :402-501)."""
+    nm = len(kminor_start)
+    if nm == 0:
+        return tau
+    dtype = tau.dtype
+    ncol, nlay, ngpt = tau.shape
+    ncell = ncol * nlay
+
+    mask = coeffs.tropo if lower else jnp.logical_not(coeffs.tropo)
+    maskf = mask.astype(dtype)
+    inv_col_dry = 1.0 / col_gas[0]
+    dry_fact = 1.0 / (1.0 + col_gas[idx_h2o] * inv_col_dry)
+
+    # per-gas scaling (density / partner-gas continuum terms) + mask
+    scal_rows = []
+    for m in range(nm):
+        scaling = col_gas[int(idx_minor[m])]
+        if minor_scales_with_density[m]:
+            scaling = scaling * (0.01 * play / tlay)
+            isc = int(idx_minor_scaling[m])
+            if isc > 0:
+                frac = col_gas[isc] * inv_col_dry * dry_fact
+                scaling = scaling * ((1.0 - frac) if scale_by_complement[m]
+                                     else frac)
+        scal_rows.append((scaling * maskf).reshape(ncell))
+    scaling_all = jnp.stack(scal_rows, 0)
+
+    fgroups = _flavor_groups(minor_flavor)
+    flavs = sorted(fgroups)
+    idx, fm = _idx_fm(coeffs, netam1, flavs)
+    groups = tuple(
+        (gi, tuple((m, int(kminor_start[m]), int(minor_limits_gpt[m][0]),
+                    int(minor_limits_gpt[m][1]) - int(minor_limits_gpt[m][0])
+                    + 1)
+                   for m in fgroups[f]))
+        for gi, f in enumerate(flavs))
+
+    out_t, n = minor_contributions_lane(
+        idx, fm, scaling_all, table_lane, groups=groups, ncont=ncont,
+        ngpt=ngpt, interpret=interpret)
+    contrib = out_t[:, :n].T.reshape(ncol, nlay, ngpt)
+    return tau + contrib
+
+
+def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
+                        netam1: int, gpoint_flavor, band_lims_gpt,
+                        col_gas, col_dry, idx_h2o: int,
+                        interpret: bool = False):
+    """Rayleigh optical depth via the lane-gather kernel (reference
+    compute_tau_rayleigh, kernels :506-565). Both-atmosphere payloads are
+    fetched and selected by the tropopause mask in-kernel."""
+    gflav = np.asarray(gpoint_flavor)
+    bands = np.asarray(band_lims_gpt)
+    nbnd = bands.shape[0]
+    ncol, nlay = coeffs.jtemp.shape
+    ncell = ncol * nlay
+    ngpt = int(bands[-1, 1])
+
+    # Rayleigh's flavor can differ between atmospheres per band; the
+    # in-kernel tropo select must then also pick the matching rows, so
+    # group bands by the *pair* (flav_lower, flav_upper) and build
+    # tropo-selected rows/weights per pair.
+    pair_groups = {}
+    for b in range(nbnd):
+        g0 = int(bands[b, 0]) - 1
+        pair = (int(gflav[0, g0]), int(gflav[1, g0]))
+        pair_groups.setdefault(pair, []).append(
+            (g0, int(bands[b, 1]) - int(bands[b, 0])))
+    pairs = sorted(pair_groups)
+
+    idx_rows, fm_rows = [], []
+    for (flo, fhi) in pairs:
+        for it in range(2):
+            if flo == fhi:
+                je = coeffs.jeta[it, flo]
+                fm = coeffs.fminor[it, :, flo]
+            else:
+                je = jnp.where(coeffs.tropo, coeffs.jeta[it, flo],
+                               coeffs.jeta[it, fhi])
+                fm = jnp.where(coeffs.tropo[None],
+                               coeffs.fminor[it, :, flo],
+                               coeffs.fminor[it, :, fhi])
+            idx_rows.append(((coeffs.jtemp + it) * netam1 + je).reshape(ncell))
+            fm_rows.append(fm[0].reshape(ncell))
+            fm_rows.append(fm[1].reshape(ncell))
+    idx = jnp.stack(idx_rows, 0).astype(jnp.int32)
+    fm = jnp.stack(fm_rows, 0)
+    tropo = coeffs.tropo.astype(fm.dtype).reshape(1, ncell)
+    band_groups = tuple(
+        (gi, tuple((g0, w + 1) for (g0, w) in pair_groups[p]))
+        for gi, p in enumerate(pairs))
+
+    out_t, n = rayleigh_k_lane(idx, fm, tropo, table_lane,
+                               band_groups=band_groups, ngpt=ngpt,
+                               interpret=interpret)
+    k = out_t[:, :n].T.reshape(ncol, nlay, ngpt)
+    return k * (col_gas[idx_h2o] + col_dry)[..., None]
