@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...config import get_config
 from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
+from ...ops.pallas.minor_gather import cloud_props_lane
 from ...spectral import SpectralGrid
 
 __all__ = ["CloudOpticsRRTMGP"]
@@ -45,6 +47,11 @@ class CloudOpticsRRTMGP:
     ssaice: jax.Array
     asyice: jax.Array
     icergh: int = 1     # ice roughness category, 1-based (reference icergh)
+    # lane-gather tables (ops/pallas/minor_gather.cloud_props_lane):
+    # payload (prop, size corner, band) on sublanes, size-bin domain on
+    # the 128-lane axis
+    liq_lane: Optional[jax.Array] = None       # (3*2*nbnd, 128)
+    ice_lane: Optional[jax.Array] = None       # (nrghice, 3*2*nbnd, 128)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -56,6 +63,24 @@ class CloudOpticsRRTMGP:
         stored roughness-major."""
         grid = SpectralGrid.from_arrays(band_lims_wvn, band_lims_gpt)
         ice = [np.moveaxis(np.asarray(a), -1, 0) for a in (extice, ssaice, asyice)]
+
+        def lane(tabs):
+            """[3 x (nsize, nbnd)] -> (3*2*nbnd, 128) corner-expanded."""
+            nsize, nbnd = np.asarray(tabs[0]).shape
+            if nsize - 1 > 128:
+                return None
+            e = np.stack([np.stack([np.asarray(t)[c:nsize - 1 + c].T
+                                    for c in (0, 1)], 0) for t in tabs], 0)
+            # (3 prop, 2 corner, nbnd, nsize-1)
+            flat = e.reshape(3 * 2 * nbnd, nsize - 1)
+            return jnp.asarray(np.pad(flat, ((0, 0), (0, 128 - nsize + 1))),
+                               dtype)
+
+        liq_lane = lane([extliq, ssaliq, asyliq])
+        ice_lanes = [lane([ice[0][r], ice[1][r], ice[2][r]])
+                     for r in range(ice[0].shape[0])]
+        ice_lane = (jnp.stack(ice_lanes) if all(
+            il is not None for il in ice_lanes) else None)
         return CloudOpticsRRTMGP(
             grid=grid,
             radliq_lwr=float(radliq_lwr), radliq_upr=float(radliq_upr),
@@ -63,7 +88,8 @@ class CloudOpticsRRTMGP:
             extliq=jnp.asarray(extliq, dtype), ssaliq=jnp.asarray(ssaliq, dtype),
             asyliq=jnp.asarray(asyliq, dtype),
             extice=jnp.asarray(ice[0], dtype), ssaice=jnp.asarray(ice[1], dtype),
-            asyice=jnp.asarray(ice[2], dtype))
+            asyice=jnp.asarray(ice[2], dtype),
+            liq_lane=liq_lane, ice_lane=ice_lane)
 
     # ------------------------------------------------------------------
     @property
@@ -119,22 +145,59 @@ class CloudOpticsRRTMGP:
         icemsk = ciwp > 0.0
 
         icergh0 = self.icergh - 1
-        ltau, ltaussa, ltaussag = self._phase_props(
-            clwp, reliq, liqmsk, (self.extliq, self.ssaliq, self.asyliq),
-            self.liq_nsteps, self.liq_step_size, self.radliq_lwr)
-        itau, itaussa, itaussag = self._phase_props(
-            ciwp, dgice, icemsk,
-            (self.extice[icergh0], self.ssaice[icergh0], self.asyice[icergh0]),
-            self.ice_nsteps, self.ice_step_size, self.diamice_lwr)
+
+        import jax as _jax
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        cfg_pallas = get_config().use_pallas
+        use_pallas = (self.liq_lane is not None and self.ice_lane is not None
+                      and (on_tpu if cfg_pallas is None else cfg_pallas))
+
+        if use_pallas:
+            dtype = clwp.dtype
+            ncol, nlay = clwp.shape
+            ncell = ncol * nlay
+            nbnd = self.grid.ngpt
+
+            def phase_idx(re, nsteps, step, offset):
+                pos = (re - offset) / step
+                idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                                nsteps - 2)
+                return idx0.reshape(ncell), (pos - idx0.astype(dtype)
+                                             ).reshape(ncell)
+            li, lf = phase_idx(reliq, self.liq_nsteps, self.liq_step_size,
+                               self.radliq_lwr)
+            ii, if_ = phase_idx(dgice, self.ice_nsteps, self.ice_step_size,
+                                self.diamice_lwr)
+            idx = jnp.stack([li, ii], 0)
+            fint = jnp.stack([lf, if_], 0)
+            wp = jnp.stack([(clwp * liqmsk.astype(dtype)).reshape(ncell),
+                            (ciwp * icemsk.astype(dtype)).reshape(ncell)], 0)
+            out, n = cloud_props_lane(idx, fint, wp, self.liq_lane,
+                                      self.ice_lane[icergh0], nbnd=nbnd,
+                                      interpret=not on_tpu)
+            out = out[:, :n]
+            tau = out[:nbnd].T.reshape(ncol, nlay, nbnd)
+            taussa = out[nbnd:2 * nbnd].T.reshape(ncol, nlay, nbnd)
+            taussag = out[2 * nbnd:].T.reshape(ncol, nlay, nbnd)
+        else:
+            ltau, ltaussa, ltaussag = self._phase_props(
+                clwp, reliq, liqmsk, (self.extliq, self.ssaliq, self.asyliq),
+                self.liq_nsteps, self.liq_step_size, self.radliq_lwr)
+            itau, itaussa, itaussag = self._phase_props(
+                ciwp, dgice, icemsk,
+                (self.extice[icergh0], self.ssaice[icergh0],
+                 self.asyice[icergh0]),
+                self.ice_nsteps, self.ice_step_size, self.diamice_lwr)
+            tau = ltau + itau
+            taussa = ltaussa + itaussa
+            taussag = ltaussag + itaussag
 
         if not scattering:
             # absorption-only: (1-ssa) tau = tau - taussa
-            tau = (ltau - ltaussa) + (itau - itaussa)
-            return OpticalProps1scl(tau=tau, grid=self.grid, top_at_1=top_at_1)
+            return OpticalProps1scl(tau=tau - taussa, grid=self.grid,
+                                    top_at_1=top_at_1)
         eps = jnp.finfo(clwp.dtype).eps
-        tau = ltau + itau
-        taussa = ltaussa + itaussa
-        g = (ltaussag + itaussag) / jnp.maximum(eps, taussa)
+        g = taussag / jnp.maximum(eps, taussa)
         ssa = taussa / jnp.maximum(eps, tau)
         return OpticalProps2str(tau=tau, ssa=ssa, g=g, grid=self.grid,
                                 top_at_1=top_at_1)

@@ -179,3 +179,68 @@ def rayleigh_k_lane(idx, fm, tropo, table_lane, *, band_groups, ngpt: int,
         interpret=interpret,
     )(idx, fm, tropo, table_lane)
     return out, n
+
+
+# ---------------------------------------------------------------------------
+# cloud particle-size tables
+# ---------------------------------------------------------------------------
+
+def _cloud_kernel(idx_ref, fint_ref, wp_ref, liq_ref, ice_ref, out_ref, *,
+                  nbnd):
+    """Two-phase (liquid, ice) particle-size LUT interpolation (reference
+    compute_cld_from_table): per phase, gather the (ext, ssa, asy) x
+    (lo, hi corner) x band payload at the cell's size index, interpolate,
+    and accumulate (tau, tau*ssa, tau*ssa*g) over phases.
+    idx/fint/wp: (2, BC) with the phase mask folded into wp."""
+    out_ref[:, :] = jnp.zeros((3 * nbnd, _BC), out_ref.dtype)
+    for phase, tab in ((0, liq_ref), (1, ice_ref)):
+        rows = idx_ref[phase, :]
+        fint = fint_ref[phase, :][None, :]
+        wp = wp_ref[phase, :][None, :]
+        # payload layout: prop p, corner c, band b at ((p*2)+c)*nbnd + b
+        def interp(p):
+            lo = _gather_rows(tab[(p * 2 + 0) * nbnd:(p * 2 + 0) * nbnd + nbnd, :],
+                              rows)
+            hi = _gather_rows(tab[(p * 2 + 1) * nbnd:(p * 2 + 1) * nbnd + nbnd, :],
+                              rows)
+            return lo + fint * (hi - lo)
+
+        t = wp * interp(0)
+        ts = t * interp(1)
+        tsg = ts * interp(2)
+        out_ref[0 * nbnd:1 * nbnd, :] += t
+        out_ref[1 * nbnd:2 * nbnd, :] += ts
+        out_ref[2 * nbnd:3 * nbnd, :] += tsg
+
+
+def cloud_props_lane(idx, fint, wp, liq_lane, ice_lane, *, nbnd: int,
+                     interpret: bool = False):
+    """Summed (tau, tau*ssa, tau*ssa*g) over phases, (3*nbnd, ncell_padded).
+
+    idx/fint/wp: (2, ncell) per-phase size index (0-based lower corner),
+    interpolation fraction, and water path (phase mask pre-applied to wp).
+    liq_lane/ice_lane: (3*2*nbnd, 128) lane tables — payload
+    (prop, corner, band) on sublanes, size-bin domain on lanes.
+    """
+    (idx, n), (fint, _), (wp, _) = (pad_cells(idx), pad_cells(fint),
+                                    pad_cells(wp))
+    ncell_p = idx.shape[-1]
+    kern = functools.partial(_cloud_kernel, nbnd=nbnd)
+    out = pl.pallas_call(
+        kern,
+        grid=(ncell_p // _BC,),
+        in_specs=[
+            pl.BlockSpec((2, _BC), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _BC), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _BC), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((liq_lane.shape[0], LANE_ROWS_MAX),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ice_lane.shape[0], LANE_ROWS_MAX),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * nbnd, _BC), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * nbnd, ncell_p), wp.dtype),
+        interpret=interpret,
+    )(idx, fint, wp, liq_lane, ice_lane)
+    return out, n

@@ -68,5 +68,52 @@ def main():
     print(f"LW solver: {t_slw*1e3:8.2f} ms   SW solver: {t_ssw*1e3:8.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PARTS"):
     main()
+
+
+def parts():
+    ncol = int(os.environ.get("BENCH_NCOL", "4096"))
+    nlay = 72
+    from scripts.timing import timeit as _t
+    from rte_rrtmgp_tpu.drivers.allsky import make_allsky_inputs
+    from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+    from rte_rrtmgp_tpu.utils.synthetic import (synthetic_cloud_optics,
+                                                synthetic_kdist)
+    from rte_rrtmgp_tpu.optical_props import increment, delta_scale
+
+    kd_lw = synthetic_kdist(sw=False, ngpt=256, nbnd=16, ntemp=14, npres=59)
+    kd_sw = synthetic_kdist(sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59)
+    gas_lw = GasOpticsRRTMGP(kd_lw)
+    gas_sw = GasOpticsRRTMGP(kd_sw)
+    cld_lw = synthetic_cloud_optics(nbnd=16, band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    cld_sw = synthetic_cloud_optics(nbnd=14, band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
+    inputs = make_allsky_inputs(ncol, nlay, cloud_optics=cld_lw)
+    gc = inputs.gas_concs
+
+    t = _t(jax.jit(lambda i: gas_lw.gas_optics_lw(
+        i.play, i.plev, i.tlay, i.tsfc, gc, tlev=i.tlev, top_at_1=True)),
+        inputs, reps=3, inner=4)
+    print(f"LW gasopt full: {t*1e3:8.2f} ms")
+    t = _t(jax.jit(lambda i: gas_sw.gas_optics_sw(
+        i.play, i.plev, i.tlay, gc, top_at_1=True)), inputs, reps=3, inner=4)
+    print(f"SW gasopt full: {t*1e3:8.2f} ms")
+
+    t = _t(jax.jit(lambda i: cld_lw.cloud_optics(
+        i.lwp, i.iwp, i.rel, i.dei, scattering=False).tau), inputs,
+        reps=3, inner=4)
+    print(f"cloud optics LW: {t*1e3:8.2f} ms")
+    t = _t(jax.jit(lambda i: cld_sw.cloud_optics(i.lwp, i.iwp, i.rel, i.dei).tau),
+           inputs, reps=3, inner=4)
+    print(f"cloud optics SW: {t*1e3:8.2f} ms")
+
+    props, _ = jax.jit(lambda i: gas_sw.gas_optics_sw(
+        i.play, i.plev, i.tlay, gc, top_at_1=True))(inputs)
+    clouds = jax.jit(lambda i: cld_sw.cloud_optics(i.lwp, i.iwp, i.rel, i.dei))(inputs)
+    t = _t(jax.jit(lambda p, c: increment(p, delta_scale(c)).tau), props, clouds,
+           reps=3, inner=4)
+    print(f"delta+increment SW: {t*1e3:8.2f} ms")
+
+
+if os.environ.get("PARTS"):
+    parts()

@@ -53,6 +53,29 @@ def test_pallas_matches_xla_gas_optics(problem, sw):
     np.testing.assert_allclose(aux_p, aux_ref, rtol=5e-6, atol=1e-30)
 
 
+def test_pallas_cloud_optics_matches(problem):
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd.grid.band_lims_wvn_array)
+    i = problem
+
+    set_use_pallas(False)
+    ref = cld.cloud_optics(i.lwp, i.iwp, i.rel, i.dei)
+    ref1 = cld.cloud_optics(i.lwp, i.iwp, i.rel, i.dei, scattering=False)
+    set_use_pallas(True)
+    out = cld.cloud_optics(i.lwp, i.iwp, i.rel, i.dei)
+    out1 = cld.cloud_optics(i.lwp, i.iwp, i.rel, i.dei, scattering=False)
+    np.testing.assert_allclose(np.asarray(out.tau), np.asarray(ref.tau),
+                               rtol=5e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.ssa), np.asarray(ref.ssa),
+                               rtol=5e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.g), np.asarray(ref.g),
+                               rtol=5e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out1.tau), np.asarray(ref1.tau),
+                               rtol=5e-6, atol=1e-12)
+
+
 def test_pallas_cell_padding_edge():
     """ncol*nlay not a multiple of 128: padded cells must not leak."""
     kd = synthetic_kdist(sw=True, ngpt=16, nbnd=2, ntemp=5, npres=8)
