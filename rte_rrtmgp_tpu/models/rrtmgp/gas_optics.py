@@ -22,7 +22,8 @@ from ...sources import SourcesLW
 from ...config import get_config
 from ...ops.gas_optics import (InterpCoeffs, interpolation, planck_sources,
                                tau_major, tau_minor, tau_rayleigh)
-from ...ops.gas_optics_pallas import (lane_gather_ok, tau_minor_pallas,
+from ...ops.gas_optics_pallas import (lane_gather_ok, pressure_window_ok,
+                                      tau_major_pallas, tau_minor_pallas,
                                       tau_rayleigh_pallas)
 from ..base import infer_top_at_1
 from .kdist import KDist
@@ -118,12 +119,8 @@ class GasOpticsRRTMGP:
                                                     gas_concs, col_dry)
         coeffs = self._interp(play, tlay, col_gas)
 
-        tau, pfrac = tau_major(coeffs, kd.kmajor_x,
-                               gpoint_flavor=kd.gpoint_flavor,
-                               band_lims_gpt=kd.grid.band_lims_gpt_array)
-
-        # Pallas lane-gather kernels for the 2-D (temp x eta) lookups:
-        # auto on TPU when the row domain fits; forced via config.
+        # Pallas lane-gather kernels for the table lookups: auto on TPU
+        # when the row domains fit; forced via config.
         import jax as _jax
         on_tpu = _jax.default_backend() not in ("cpu", "gpu")
         cfg_pallas = get_config().use_pallas
@@ -131,6 +128,25 @@ class GasOpticsRRTMGP:
                       and (on_tpu if cfg_pallas is None else cfg_pallas))
         interpret = not on_tpu
         ntemp_k, netam1_k = kd.temp_ref.shape[0], kd.neta - 1
+
+        use_major = use_pallas and kd.kmajor_lane is not None
+        if use_major and not isinstance(coeffs.jpress, jax.core.Tracer):
+            # eager guard of the block pressure-window assumption
+            from ...ops.pallas.major_gather import PSPAN
+            jb = np.asarray(coeffs.jpress) + np.where(
+                np.asarray(coeffs.tropo), 0, 1)
+            use_major = pressure_window_ok(jb, PSPAN)
+        if use_major:
+            tau, pfrac = tau_major_pallas(
+                coeffs, kd.kmajor_lane, neta=kd.neta,
+                gpoint_flavor=kd.gpoint_flavor,
+                band_lims_gpt=kd.grid.band_lims_gpt_array,
+                ntab=kd.kmajor_lane_ntab, interpret=interpret)
+        else:
+            tau, pfrac = tau_major(
+                coeffs, kd.kmajor_x,
+                gpoint_flavor=kd.gpoint_flavor,
+                band_lims_gpt=kd.grid.band_lims_gpt_array)
 
         for lower, mset, ktab, klane in (
                 (True, kd.minor_lower, kd.kminor_lower_x,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...spectral import SpectralGrid
+from ...ops.pallas.major_gather import PSPAN as _PSPAN
 
 __all__ = ["KDist", "MinorSet"]
 
@@ -117,6 +118,12 @@ class KDist:
     kminor_upper_lane: Optional[jax.Array] = None
     krayl_lane: Optional[jax.Array] = None         # (2*2*ngpt, 128)
     lane_rows: int = 0                             # = ntemp*(neta-1)
+    # major-interpolation lane table (ops/pallas/major_gather.py):
+    # per-band payload (pressure window, table in {kmajor, planck_frac},
+    # gpt) on sublanes, (jtemp, jeta) domain on lanes; pressure axis
+    # edge-padded by PSPAN-2 rows for the block-window dynamic slice.
+    kmajor_lane: Optional[jax.Array] = None  # (nbnd, P*ntab*w, 128)
+    kmajor_lane_ntab: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -318,6 +325,33 @@ class KDist:
             t = np.transpose(kx_np, (2, 3, 0, 1))
             return lane_pad(t.reshape(t.shape[0] * t.shape[1], lane_rows))
 
+        def major_lane_of(tabs_np, blims, pspan):
+            """Per-band lane table for the 3-D major interpolation:
+            payload (press-window, table, gpt) rows, (jt, je) lanes."""
+            ntemp_m, neta_m, npresp1_m, _ = tabs_np[0].shape
+            rows_m = ntemp_m * neta_m
+            if rows_m > 127:          # te+1 (eta corner) must stay in lane
+                return None
+            widths = blims[:, 1] - blims[:, 0] + 1
+            if len(set(int(x) for x in widths)) != 1:
+                return None
+            w_m = int(widths[0])
+            ntab_m = len(tabs_np)
+            P = npresp1_m + pspan - 2
+            arr = np.stack(
+                [np.concatenate(
+                    [t, np.repeat(t[:, :, -1:, :], pspan - 2, axis=2)],
+                    axis=2) for t in tabs_np], axis=3)
+            # (ntemp, neta, P, ntab, ngpt)
+            out = np.zeros((blims.shape[0], P * ntab_m * w_m, 128))
+            for b in range(blims.shape[0]):
+                g0, g1 = int(blims[b, 0]) - 1, int(blims[b, 1]) - 1
+                sl = arr[:, :, :, :, g0:g1 + 1]
+                sl = np.transpose(sl, (2, 3, 4, 0, 1)).reshape(
+                    P * ntab_m * w_m, rows_m)
+                out[b, :, :rows_m] = sl
+            return jnp.asarray(out, dtype)
+
         mlow, klow = reduce_minor(kminor_lower, minor_gases_lower,
                                   minor_limits_gpt_lower,
                                   minor_scales_with_density_lower,
@@ -369,6 +403,7 @@ class KDist:
         tabs = [kmaj_np]
         if planck_frac is not None:
             tabs.append(np.asarray(planck_frac, np.float64))
+        major_tabs = tabs
         neta_k, npresp1 = kmaj_np.shape[1], kmaj_np.shape[2]
         corners = []
         for dp in (0, 1):
@@ -427,6 +462,9 @@ class KDist:
             kminor_upper_lane=kminor_lane_of(corner_expand_eta(kupp)),
             krayl_lane=krayl_lane,
             lane_rows=lane_rows,
+            kmajor_lane=major_lane_of(
+                major_tabs, np.asarray(band_lims_gpt, np.int64), _PSPAN),
+            kmajor_lane_ntab=len(major_tabs),
         )
         if sq is not None:
             kd = kd.with_solar_variability(

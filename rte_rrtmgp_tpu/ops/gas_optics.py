@@ -64,6 +64,7 @@ class InterpCoeffs(NamedTuple):
     col_mix: jax.Array    # (2, nflav, ncol, nlay)
     fminor: jax.Array     # (2, 2, nflav, ncol, nlay)
     fmajor: jax.Array     # (2, 2, 2, nflav, ncol, nlay)
+    feta: jax.Array       # (2, nflav, ncol, nlay) raw eta fraction
 
 
 def interpolation(play, tlay, col_gas, *,
@@ -150,7 +151,7 @@ def interpolation(play, tlay, col_gas, *,
     fmajor = fminor[:, None] * fp[None, :, None, None]          # (2, 2, 2, nflav, c, l)
     return InterpCoeffs(jtemp=jtemp, ftemp=ftemp, jpress=jpress, fpress=fpress,
                         tropo=tropo, jeta=jeta, col_mix=col_mix,
-                        fminor=fminor, fmajor=fmajor)
+                        fminor=fminor, fmajor=fmajor, feta=feta)
 
 
 def _band_flavor_state(coeffs: InterpCoeffs, it: int, flav_lo: int,

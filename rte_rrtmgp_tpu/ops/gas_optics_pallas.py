@@ -152,3 +152,79 @@ def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
                                interpret=interpret)
     k = out_t[:, :n].T.reshape(ncol, nlay, ngpt)
     return k * (col_gas[idx_h2o] + col_dry)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# major gases (+ packed Planck fraction)
+# ---------------------------------------------------------------------------
+
+def pressure_window_ok(jp_base: np.ndarray, pspan: int) -> bool:
+    """Eager check of the PSPAN assumption: max in-block pressure-index
+    span over 128-cell layer-major blocks (see pallas/major_gather.py)."""
+    flat = np.asarray(jp_base).T.reshape(-1)
+    pad = (-flat.size) % 128
+    if pad:
+        flat = np.concatenate([flat, np.repeat(flat[-1], pad)])
+    blocks = flat.reshape(-1, 128)
+    return int((blocks.max(1) - blocks.min(1)).max()) <= pspan - 2
+
+
+def tau_major_pallas(coeffs: InterpCoeffs, table_lane, *, neta: int,
+                     gpoint_flavor, band_lims_gpt, ntab: int,
+                     interpret: bool = False):
+    """Major-gas tau (+ Planck fraction when ntab=2) via the lane-gather
+    kernel (reference gas_optical_depths_major / interpolate3D_byflav,
+    kernels :345-396, :765-803). Returns (tau, pfrac_or_None), each
+    (ncol, nlay, ngpt)."""
+    from .pallas.major_gather import major_interp_lane
+
+    gflav = np.asarray(gpoint_flavor)
+    bands = np.asarray(band_lims_gpt)
+    nbnd = bands.shape[0]
+    w = int(bands[0, 1]) - int(bands[0, 0]) + 1
+    ncol, nlay = coeffs.jtemp.shape
+    ncell = ncol * nlay
+
+    def lm(x):  # layer-major flatten
+        return x.T.reshape(ncell)
+
+    te_rows, fe_rows, cm_rows = [], [], []
+    for b in range(nbnd):
+        g0 = int(bands[b, 0]) - 1
+        flo, fhi = int(gflav[0, g0]), int(gflav[1, g0])
+        for it in range(2):
+            if flo == fhi:
+                je = coeffs.jeta[it, flo]
+                fe = coeffs.feta[it, flo]
+                cmv = coeffs.col_mix[it, flo]
+            else:
+                je = jnp.where(coeffs.tropo, coeffs.jeta[it, flo],
+                               coeffs.jeta[it, fhi])
+                fe = jnp.where(coeffs.tropo, coeffs.feta[it, flo],
+                               coeffs.feta[it, fhi])
+                cmv = jnp.where(coeffs.tropo, coeffs.col_mix[it, flo],
+                                coeffs.col_mix[it, fhi])
+            te_rows.append(lm((coeffs.jtemp + it) * neta + je))
+            fe_rows.append(lm(fe))
+            cm_rows.append(lm(cmv))
+    te = jnp.stack(te_rows, 0).astype(jnp.int32)
+    fe = jnp.stack(fe_rows, 0)
+    cm = jnp.stack(cm_rows, 0)
+    ft = jnp.stack([lm(1.0 - coeffs.ftemp), lm(coeffs.ftemp)], 0)
+    fp = lm(coeffs.fpress)[None]
+    jp = lm(coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)).astype(
+        jnp.int32)[None]
+
+    out, n = major_interp_lane(te, fe, cm, ft, fp, jp, table_lane,
+                               nbnd=nbnd, ntab=ntab, w=w,
+                               interpret=interpret)
+    out = out[:, :n]                                      # (nbnd*ntab*w, n)
+    per_band = out.reshape(nbnd, ntab, w, ncell)
+
+    def unflatten(rows):                                  # (nbnd, w, ncell)
+        x = jnp.moveaxis(rows, -1, 0).reshape(nlay, ncol, nbnd * w)
+        return jnp.swapaxes(x, 0, 1)
+
+    tau = unflatten(per_band[:, 0])
+    pfrac = unflatten(per_band[:, 1]) if ntab == 2 else None
+    return tau, pfrac

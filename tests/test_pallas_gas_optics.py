@@ -90,3 +90,72 @@ def test_pallas_cell_padding_edge():
                                inputs.gas_concs, top_at_1=True)
     np.testing.assert_allclose(np.asarray(out.tau), np.asarray(ref.tau),
                                rtol=5e-6)
+
+
+def test_pallas_major_varying_surface_pressure():
+    """Columns with different surface pressures (sigma-style grids) stay
+    within the kernel's block pressure window and match XLA."""
+    import jax.numpy as jnp
+    from rte_rrtmgp_tpu.utils.profiles import allsky_profiles
+
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    ncol, nlay = 7, 11
+    play, plev, tlay, tlev, gas = allsky_profiles(ncol, nlay)
+    scale = (1.0 + 0.08 * np.linspace(-1, 1, ncol))[:, None]  # +-8% psfc
+    play = jnp.asarray(play * scale, jnp.float32)
+    plev = jnp.asarray(plev * scale, jnp.float32)
+    tlay = jnp.asarray(tlay, jnp.float32)
+    tlev = jnp.asarray(tlev, jnp.float32)
+    tsfc = tlay[:, -1]
+
+    def run():
+        p, s = gop.gas_optics_lw(play, plev, tlay, tsfc, gas, tlev=tlev,
+                                 top_at_1=True)
+        return np.asarray(p.tau), np.asarray(s.lev_source)
+
+    set_use_pallas(False)
+    tau_ref, lev_ref = run()
+    set_use_pallas(True)
+    tau_p, lev_p = run()
+    np.testing.assert_allclose(tau_p, tau_ref, rtol=5e-6)
+    np.testing.assert_allclose(lev_p, lev_ref, rtol=5e-6)
+
+
+def test_pallas_major_pathological_grid_falls_back():
+    """A pressure field violating the block-window assumption must be
+    detected eagerly and fall back to the XLA path (identical results)."""
+    import jax.numpy as jnp
+    from rte_rrtmgp_tpu.ops.gas_optics_pallas import pressure_window_ok
+    from rte_rrtmgp_tpu.utils.profiles import allsky_profiles
+
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=40)
+    gop = GasOpticsRRTMGP(kd)
+    ncol, nlay = 130, 4   # blocks span one layer
+    play, plev, tlay, tlev, gas = allsky_profiles(ncol, nlay)
+    # scramble pressures across columns by orders of magnitude
+    rng = np.random.default_rng(3)
+    fac = np.exp(rng.uniform(np.log(1e-3), 0.0, (ncol, 1)))
+    play = jnp.asarray(play * fac, jnp.float32)
+    plev = jnp.asarray(plev * fac, jnp.float32)
+    tlay = jnp.asarray(tlay, jnp.float32)
+    tlev = jnp.asarray(tlev, jnp.float32)
+    tsfc = tlay[:, -1]
+
+    def run():
+        p, _ = gop.gas_optics_lw(play, plev, tlay, tsfc, gas, tlev=tlev,
+                                 top_at_1=True)
+        return np.asarray(p.tau)
+
+    set_use_pallas(False)
+    tau_ref = run()
+    set_use_pallas(True)   # eager window check must reject -> XLA fallback
+    tau_p = run()
+    np.testing.assert_allclose(tau_p, tau_ref, rtol=1e-6)
+
+    # sanity: the window check does reject this grid
+    from rte_rrtmgp_tpu.ops.pallas.major_gather import PSPAN
+    co = gop._interp(play, tlay,
+                     gop._col_gas(play, plev, tlay, gas, None)[0])
+    jb = np.asarray(co.jpress) + np.where(np.asarray(co.tropo), 0, 1)
+    assert not pressure_window_ok(jb, PSPAN)
