@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--kdist-lw")
     ap.add_argument("--kdist-sw")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--scheme", choices=["rrtmgp", "ssm"], default="rrtmgp",
+                    help="optics scheme (the reference dispatches SSM vs "
+                         "RRTMGP by executable name)")
     ap.add_argument("--nsite", type=int, default=100)
     ap.add_argument("--nlay", type=int, default=60)
     ap.add_argument("--nexp", type=int, default=18)
@@ -46,7 +49,14 @@ def main():
     from rte_rrtmgp_tpu.utils.netcdf import NCFile, load_gas_optics
     from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
 
-    if args.synthetic or not args.rfmip_file:
+    if args.scheme == "ssm":
+        from rte_rrtmgp_tpu.models.ssm import ssm_lw_defaults, ssm_sw_defaults
+        data = (synthetic_rfmip(args.nsite, args.nlay, args.nexp)
+                if (args.synthetic or not args.rfmip_file)
+                else read_rfmip(args.rfmip_file,
+                                forcing_index=args.forcing_index))
+        gas_lw, gas_sw = ssm_lw_defaults(), ssm_sw_defaults()
+    elif args.synthetic or not args.rfmip_file:
         print(f"running synthetic RFMIP-shaped problem "
               f"({args.nsite * args.nexp} cols x {args.nlay} lay)")
         data = synthetic_rfmip(args.nsite, args.nlay, args.nexp)

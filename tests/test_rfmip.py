@@ -84,3 +84,15 @@ def test_write_and_compare_roundtrip(tmp_path, data, gas_lw):
                           failure_threshold=3.5e-1)
     assert not compare_fields(back + 1.0, unblock(data, up), "rlu",
                               failure_threshold=3.5e-1, verbose=False)
+
+
+def test_rfmip_with_ssm_scheme(data):
+    """The RFMIP driver accepts any optics provider (the reference
+    dispatches SSM vs RRTMGP by executable name)."""
+    from rte_rrtmgp_tpu.models.ssm import ssm_lw_defaults, ssm_sw_defaults
+
+    up, dn = rfmip_lw(data, ssm_lw_defaults())
+    assert up.shape == (NSITE * NEXP, NLAY + 1)
+    assert np.all(np.isfinite(up)) and np.all(up > 0)
+    su, sd = rfmip_sw(data, ssm_sw_defaults())
+    assert np.all(np.isfinite(su))
