@@ -60,8 +60,14 @@ class NCFile:
 
     def var(self, name: str) -> np.ndarray:
         if self._nc is not None:
-            return np.array(self._nc.variables[name][:])
-        return np.array(self._h5[name][...])
+            arr = np.array(self._nc.variables[name][:])
+        else:
+            arr = np.array(self._h5[name][...])
+        # scipy's netCDF-3 reader returns big-endian arrays, which JAX
+        # rejects; normalize to native byte order
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return arr
 
     def attr(self, var: str, name: str, default=None):
         """Attribute of a variable (e.g. 'units'), decoded to str."""
