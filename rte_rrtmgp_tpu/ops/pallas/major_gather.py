@@ -35,7 +35,7 @@ from .minor_gather import _BC, LANE_ROWS_MAX, _gather_rows, pad_cells
 
 __all__ = ["major_interp_lane", "PSPAN"]
 
-PSPAN = 8   # pressure-window rows per block (max in-block span PSPAN-1)
+PSPAN = 4   # pressure-window rows per block (max in-block span PSPAN-2)
 
 
 def _major_kernel(te_ref, fe_ref, cm_ref, ft_ref, fp_ref, jp_ref, tab_ref,
