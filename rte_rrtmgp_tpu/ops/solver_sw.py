@@ -136,6 +136,23 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
         mu0 = jnp.flip(mu0, axis=1)
 
+    if not spectral:
+        # fused Pallas kernel keeps every intermediate in VMEM (auto on
+        # TPU; forced/disabled via config.use_pallas)
+        from ..config import get_config
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        cfg = get_config().use_pallas
+        if (on_tpu if cfg is None else cfg):
+            from .pallas.solver_sw_kernel import sw_two_stream_broadband_lane
+            up, dn, fdir = sw_two_stream_broadband_lane(
+                tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif, inc_flux_dir,
+                inc_flux_dif, interpret=not on_tpu)
+            if not top_at_1:
+                up = jnp.flip(up, axis=1)
+                dn = jnp.flip(dn, axis=1)
+                fdir = jnp.flip(fdir, axis=1)
+            return SWFluxes(flux_up=up, flux_dn=dn, flux_dir=fdir)
+
     rdif, tdif, src_dn, src_up, src_sfc, flux_dir = sw_dif_and_source(
         tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir)
 

@@ -159,3 +159,37 @@ def test_pallas_major_pathological_grid_falls_back():
                      gop._col_gas(play, plev, tlay, gas, None)[0])
     jb = np.asarray(co.jpress) + np.where(np.asarray(co.tropo), 0, 1)
     assert not pressure_window_ok(jb, PSPAN)
+
+
+def test_pallas_sw_solver_matches_xla():
+    import jax.numpy as jnp
+    from rte_rrtmgp_tpu.ops.solver_sw import sw_solver_2stream
+
+    rng = np.random.default_rng(11)
+    ncol, nlay, ngpt = 5, 9, 20   # neither 8- nor 128-aligned
+    tau = jnp.asarray(rng.uniform(1e-3, 2.0, (ncol, nlay, ngpt)), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0.1, 0.99, (ncol, nlay, ngpt)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.0, 0.85, (ncol, nlay, ngpt)), jnp.float32)
+    mu0 = jnp.asarray(np.broadcast_to(
+        rng.uniform(-0.2, 1.0, (ncol, 1)), (ncol, nlay)).copy(), jnp.float32)
+    alb_dir = jnp.asarray(rng.uniform(0, 0.4, (ncol, ngpt)), jnp.float32)
+    alb_dif = jnp.asarray(rng.uniform(0, 0.4, (ncol, ngpt)), jnp.float32)
+    inc = jnp.asarray(rng.uniform(1, 8, (ncol, ngpt)), jnp.float32)
+    dif = jnp.asarray(rng.uniform(0, 1, (ncol, ngpt)), jnp.float32)
+
+    for top_at_1 in (True, False):
+        set_use_pallas(False)
+        ref = sw_solver_2stream(tau, ssa, g, mu0, alb_dir, alb_dif, inc,
+                                top_at_1=top_at_1, inc_flux_dif=dif)
+        set_use_pallas(True)
+        out = sw_solver_2stream(tau, ssa, g, mu0, alb_dir, alb_dif, inc,
+                                top_at_1=top_at_1, inc_flux_dif=dif)
+        np.testing.assert_allclose(np.asarray(out.flux_up),
+                                   np.asarray(ref.flux_up), rtol=2e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.flux_dn),
+                                   np.asarray(ref.flux_dn), rtol=2e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.flux_dir),
+                                   np.asarray(ref.flux_dir), rtol=2e-5,
+                                   atol=1e-4)
