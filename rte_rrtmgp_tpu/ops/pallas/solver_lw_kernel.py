@@ -1,0 +1,199 @@
+"""Fused Pallas TPU kernel for the LW no-scattering solve (broadband,
+single quadrature angle, optional Tang-2018 rescaling and surface
+Jacobian) — the all-sky/RFMIP default dispatch.
+
+Per (column-block, g-point-block): transmittance and the Clough
+linear-in-tau source terms, the downward transport recurrence, surface
+reflection + emission, the upward transport with the Tang similarity
+adjustment, the adjusted second downward sweep, and lane-summed
+broadband fluxes (x pi * quadrature weight) — all in VMEM scratch.
+
+Numerics identical to ops/solver_lw.lw_solver_noscat with one angle
+(reference lw_solver_noscat_oneangle + lw_transport_1rescl,
+rte/kernels/mo_rte_solver_kernels.F90:51-240, :620-844). Padded g-points
+carry tau=0 and zero sources/emissivity/inc, contributing exactly zero.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lw_noscat_broadband_lane"]
+
+_BCOL = 8
+_BGPT = 128
+
+
+def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
+               ssrc_ref, sjac_ref, inc_ref,
+               up_ref, dn_ref, jac_ref,
+               trans_s, sdn_s, sup_s, an_s, cn_s, rdn_s, rup_s, jacw_s, *,
+               nlay, do_rescaling, do_jacobians):
+    gb = pl.program_id(1)
+    dtype = tau_ref.dtype
+    eps = np.finfo(np.float32).eps
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
+    ds = dsw_ref[0]
+    piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
+
+    tl = tau_ref[:, :, :] * ds
+    if do_rescaling:
+        # Tang 2018 similarity rescaling (reference :148-184)
+        w0 = ssa_ref[:, :, :]
+        asym = g_ref[:, :, :]
+        wb = w0 * (1.0 - asym) * 0.5
+        scale = 1.0 - w0 + wb
+        cn_s[:, :, :] = 0.4 * wb / scale
+        tl = tl * scale
+        trans = jnp.exp(-tl)
+        an_s[:, :, :] = 1.0 - trans * trans
+    else:
+        trans = jnp.exp(-tl)
+    trans_s[:, :, :] = trans
+
+    # Clough et al. 1992 linear-in-tau source (reference :620-675)
+    fact_big = (1.0 - trans) / jnp.maximum(tl, tiny) - trans
+    fact_small = tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125))
+    fact = jnp.where(tl > tau_thresh, fact_big, fact_small)
+    lay = lay_ref[:, :, :]
+    lev_top = lev_ref[:, :-1, :]
+    lev_bot = lev_ref[:, 1:, :]
+    sdn_s[:, :, :] = (1.0 - trans) * lev_bot + 2.0 * fact * (lay - lev_bot)
+    sup_s[:, :, :] = (1.0 - trans) * lev_top + 2.0 * fact * (lay - lev_top)
+
+    # downward transport
+    rdn_s[:, 0, :] = inc_ref[:, :] / piw
+
+    def down(l, _):
+        rdn_s[:, l + 1, :] = (trans_s[:, l, :] * rdn_s[:, l, :]
+                              + sdn_s[:, l, :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, down, 0)
+
+    # surface reflection + emission
+    emis = emis_ref[:, :]
+    rup_s[:, nlay, :] = (rdn_s[:, nlay, :] * (1.0 - emis)
+                         + emis * ssrc_ref[:, :])
+    if do_jacobians:
+        jacw_s[:, nlay, :] = emis * sjac_ref[:, :]
+
+    # upward transport (+ Tang adjustment using the downwelling field)
+    def up(i, _):
+        v = nlay - 1 - i
+        t = trans_s[:, v, :]
+        adj = 0.0
+        if do_rescaling:
+            adj = cn_s[:, v, :] * (an_s[:, v, :] * rdn_s[:, v, :]
+                                   - t * sdn_s[:, v, :] - sup_s[:, v, :])
+        rup_s[:, v, :] = t * rup_s[:, v + 1, :] + sup_s[:, v, :] + adj
+        if do_jacobians:
+            jacw_s[:, v, :] = t * jacw_s[:, v + 1, :]
+        return 0
+
+    jax.lax.fori_loop(0, nlay, up, 0)
+
+    # adjusted second downward sweep (reference lw_transport_1rescl)
+    if do_rescaling:
+        def down2(l, _):
+            t = trans_s[:, l, :]
+            adj = cn_s[:, l, :] * (an_s[:, l, :] * rup_s[:, l, :]
+                                   - t * sup_s[:, l, :] - sdn_s[:, l, :])
+            rdn_s[:, l + 1, :] = t * rdn_s[:, l, :] + sdn_s[:, l, :] + adj
+            return 0
+
+        jax.lax.fori_loop(0, nlay, down2, 0)
+
+    bb_up = piw * jnp.sum(rup_s[:, :, :], axis=-1)
+    bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=-1)
+
+    @pl.when(gb == 0)
+    def _():
+        up_ref[:, :] = bb_up
+        dn_ref[:, :] = bb_dn
+
+    @pl.when(gb != 0)
+    def _():
+        up_ref[:, :] += bb_up
+        dn_ref[:, :] += bb_dn
+
+    if do_jacobians:
+        bb_jac = piw * jnp.sum(jacw_s[:, :, :], axis=-1)
+
+        @pl.when(gb == 0)
+        def _():
+            jac_ref[:, :] = bb_jac
+
+        @pl.when(gb != 0)
+        def _():
+            jac_ref[:, :] += bb_jac
+    else:
+        @pl.when(gb == 0)
+        def _():
+            jac_ref[:, :] = jnp.zeros_like(jac_ref)
+
+
+def lw_noscat_broadband_lane(tau, lay_source, lev_source, sfc_emis, sfc_src,
+                             inc_flux, *, ds, weight,
+                             ssa=None, g=None, sfc_src_jac=None,
+                             do_rescaling: bool = False,
+                             do_jacobians: bool = False,
+                             interpret: bool = False):
+    """Broadband single-angle LW fluxes (flux_up, flux_dn, flux_up_jac),
+    (ncol, nlay+1) each. Inputs top-at-index-0; ds is the scalar secant
+    and weight the quadrature weight (python floats or traced scalars)."""
+    ncol, nlay, ngpt = tau.shape
+    dtype = tau.dtype
+    pc = (-ncol) % _BCOL
+    pg = (-ngpt) % _BGPT
+
+    def pad3(x, lev=False):
+        return jnp.pad(x, ((0, pc), (0, 0), (0, pg)))
+
+    def pad2(x):
+        return jnp.pad(x, ((0, pc), (0, pg)))
+
+    zero3 = jnp.zeros_like(tau)
+    zero2 = jnp.zeros((ncol, ngpt), dtype)
+    dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
+                     jnp.asarray(weight, dtype).reshape(())])
+    args = (dsw, pad3(tau), pad3(ssa if ssa is not None else zero3),
+            pad3(g if g is not None else zero3),
+            pad3(lay_source), pad3(lev_source),
+            pad2(sfc_emis), pad2(sfc_src),
+            pad2(sfc_src_jac if sfc_src_jac is not None else zero2),
+            pad2(inc_flux))
+    ncol_p, ngpt_p = ncol + pc, ngpt + pg
+    nlev = nlay + 1
+
+    kern = functools.partial(_lw_kernel, nlay=nlay,
+                             do_rescaling=do_rescaling,
+                             do_jacobians=do_jacobians)
+    v3 = lambda nl: pl.BlockSpec((_BCOL, nl, _BGPT), lambda c, b: (c, 0, b),
+                                 memory_space=pltpu.VMEM)
+    v2 = pl.BlockSpec((_BCOL, _BGPT), lambda c, b: (c, b),
+                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    obb = pl.BlockSpec((_BCOL, nlev), lambda c, b: (c, 0),
+                       memory_space=pltpu.VMEM)
+    scratch3 = lambda nl: pltpu.VMEM((_BCOL, nl, _BGPT), dtype)
+
+    up, dn, jac = pl.pallas_call(
+        kern,
+        grid=(ncol_p // _BCOL, ngpt_p // _BGPT),
+        in_specs=[smem, v3(nlay), v3(nlay), v3(nlay), v3(nlay), v3(nlev),
+                  v2, v2, v2, v2],
+        out_specs=[obb, obb, obb],
+        out_shape=[jax.ShapeDtypeStruct((ncol_p, nlev), dtype)] * 3,
+        scratch_shapes=[scratch3(nlay), scratch3(nlay), scratch3(nlay),
+                        scratch3(nlay), scratch3(nlay),
+                        scratch3(nlev), scratch3(nlev), scratch3(nlev)],
+        interpret=interpret,
+    )(*args)
+    return (up[:ncol], dn[:ncol], jac[:ncol] if do_jacobians else None)

@@ -245,7 +245,29 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
         ssa = g = None
 
     ds_arr = jnp.asarray(ds, dtype=dtype)
-    if ds_arr.ndim == 1:  # per-angle scalars
+    scalar_ds = ds_arr.ndim == 1
+
+    if not spectral and scalar_ds and len(weights) == 1:
+        # fused Pallas kernel for the single-angle broadband default
+        # (auto on TPU; forced/disabled via config.use_pallas)
+        from ..config import get_config
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        cfg = get_config().use_pallas
+        if (on_tpu if cfg is None else cfg):
+            from .pallas.solver_lw_kernel import lw_noscat_broadband_lane
+            up, dn, jac = lw_noscat_broadband_lane(
+                tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
+                ds=ds_arr[0], weight=weights[0],
+                ssa=ssa, g=g, sfc_src_jac=sfc_src_jac,
+                do_rescaling=do_rescaling, do_jacobians=do_jacobians,
+                interpret=not on_tpu)
+            if not top_at_1:
+                up = jnp.flip(up, axis=1)
+                dn = jnp.flip(dn, axis=1)
+                jac = jnp.flip(jac, axis=1) if jac is not None else None
+            return LWFluxes(flux_up=up, flux_dn=dn, flux_up_jac=jac)
+
+    if scalar_ds:  # per-angle scalars
         ds_arr = jnp.broadcast_to(ds_arr[:, None, None], (ds_arr.shape[0], ncol, ngpt))
     nmus = ds_arr.shape[0]
 

@@ -193,3 +193,39 @@ def test_pallas_sw_solver_matches_xla():
         np.testing.assert_allclose(np.asarray(out.flux_dir),
                                    np.asarray(ref.flux_dir), rtol=2e-5,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("rescale", [False, True])
+@pytest.mark.parametrize("top_at_1", [True, False])
+def test_pallas_lw_solver_matches_xla(rescale, top_at_1):
+    import jax.numpy as jnp
+    from rte_rrtmgp_tpu.ops.solver_lw import (GAUSS_DS, GAUSS_WTS,
+                                              lw_solver_noscat)
+
+    rng = np.random.default_rng(5)
+    ncol, nlay, ngpt = 5, 9, 20
+    tau = jnp.asarray(rng.uniform(1e-3, 3.0, (ncol, nlay, ngpt)), jnp.float32)
+    lay = jnp.asarray(rng.uniform(10, 60, (ncol, nlay, ngpt)), jnp.float32)
+    lev = jnp.asarray(rng.uniform(10, 60, (ncol, nlay + 1, ngpt)), jnp.float32)
+    emis = jnp.asarray(rng.uniform(0.9, 1.0, (ncol, ngpt)), jnp.float32)
+    src = jnp.asarray(rng.uniform(30, 80, (ncol, ngpt)), jnp.float32)
+    jac = jnp.asarray(rng.uniform(0.1, 1.0, (ncol, ngpt)), jnp.float32)
+    inc = jnp.asarray(rng.uniform(0, 5, (ncol, ngpt)), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0, 0.7, (ncol, nlay, ngpt)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0, 0.8, (ncol, nlay, ngpt)), jnp.float32)
+
+    kw = dict(top_at_1=top_at_1, ds=np.asarray(GAUSS_DS[0]),
+              weights=GAUSS_WTS[0], sfc_src_jac=jac, do_jacobians=True)
+    if rescale:
+        kw.update(ssa=ssa, g=g, do_rescaling=True)
+    set_use_pallas(False)
+    ref = lw_solver_noscat(tau, lay, lev, emis, src, inc, **kw)
+    set_use_pallas(True)
+    out = lw_solver_noscat(tau, lay, lev, emis, src, inc, **kw)
+    np.testing.assert_allclose(np.asarray(out.flux_up),
+                               np.asarray(ref.flux_up), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.flux_dn),
+                               np.asarray(ref.flux_dn), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.flux_up_jac),
+                               np.asarray(ref.flux_up_jac), rtol=2e-5,
+                               atol=1e-5)
