@@ -30,7 +30,7 @@ from ..models.rrtmgp.aerosol_optics import (MERRA_AERO_DUST, MERRA_AERO_SULF,
 from ..utils.profiles import allsky_profiles
 
 __all__ = ["AllSkyInputs", "make_allsky_inputs", "allsky_step_lw",
-           "allsky_step_sw"]
+           "allsky_step_sw", "allsky_step_lw_lanes", "allsky_step_sw_lanes"]
 
 
 class AllSkyInputs(NamedTuple):
@@ -101,12 +101,132 @@ def make_allsky_inputs(ncol: int, nlay: int, *, cloud_optics=None,
         mu0=cast(np.full(ncol, 0.86)))
 
 
+def _lanes_active() -> bool:
+    """True when the Pallas lane pipeline should run (mirrors the
+    use_pallas resolution in gas-optics providers)."""
+    from ..config import get_config
+    cfg = get_config().use_pallas
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return on_tpu if cfg is None else cfg
+
+
+def _expand_bands(x, band_lims_gpt):
+    """(nbnd, ...) -> (ngpt, ...) row repeat with static band widths (the
+    lane-layout equivalent of the _bybnd expansion)."""
+    lims = np.asarray(band_lims_gpt)
+    widths = (lims[:, 1] - lims[:, 0] + 1).astype(np.int32)
+    return jnp.repeat(x, jnp.asarray(widths), axis=0,
+                      total_repeat_length=int(lims[-1, 1]))
+
+
+def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
+                         cloud_optics=None, use_clouds=True) -> Optional[Fluxes]:
+    """Fused lane-layout LW step: gas optics, cloud increment, and the
+    no-scattering solve all in the gathers' native (ngpt, nlay, ncol)
+    layout (see ops/pallas/solver_lanes.py). Returns None when the lane
+    pipeline is unavailable and the caller must take the generic path."""
+    from ..ops.pallas.solver_lanes import lw_noscat_broadband_lanes
+    from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
+
+    out = gas_optics.gas_optics_lw_lanes(
+        inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
+        tlev=inputs.tlev)
+    if out is None:
+        return None
+    tau, (sfc_src, lay_src, lev_src, _jac) = out
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    if use_clouds and cloud_optics is not None:
+        cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
+                                              inputs.rel, inputs.dei,
+                                              interpret=interpret)
+        if cld is None:
+            return None
+        ct, cts, _ = cld
+        # absorption-only increment: tau += (tau - tau*ssa) by band
+        # (increment_1scalar_by_2stream + _bybnd expansion)
+        tau = tau + _expand_bands(ct - cts,
+                                  gas_optics.grid.band_lims_gpt_array)
+    ngpt, _, ncol = tau.shape
+    emis = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :], (ngpt, ncol))
+    inc = jnp.zeros((ngpt, ncol), tau.dtype)
+    up, dn, _ = lw_noscat_broadband_lanes(
+        tau, lay_src, lev_src, emis, sfc_src, inc,
+        ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0], interpret=interpret)
+    up, dn = up.T, dn.T
+    return Fluxes(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
+                         cloud_optics=None, use_clouds=True) -> Optional[Fluxes]:
+    """Fused lane-layout SW step: gas optics + Rayleigh, delta-scaled
+    cloud increment, and the two-stream solve in lane layout."""
+    from ..ops.pallas.solver_lanes import sw_two_stream_broadband_lanes
+
+    out = gas_optics.gas_optics_sw_lanes(
+        inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs)
+    if out is None:
+        return None
+    tau, ssa, toa = out
+    dtype = tau.dtype
+    g = jnp.zeros_like(tau)
+    tiny = jnp.finfo(dtype).tiny
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    if use_clouds and cloud_optics is not None:
+        cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
+                                              inputs.rel, inputs.dei,
+                                              interpret=interpret)
+        if cld is None:
+            return None
+        ct, cts, ctsg = cld
+        eps = jnp.finfo(dtype).eps
+        cg = ctsg / jnp.maximum(eps, cts)
+        cssa = cts / jnp.maximum(eps, ct)
+        # delta-Eddington scale (f = g^2) then 2str += 2str by band —
+        # identical formulas to optical_props.delta_scale / increment
+        one = jnp.asarray(1.0, dtype)
+        f = cg * cg
+        wf = cssa * f
+        ct_d = (one - wf) * ct
+        cssa_d = jnp.where(wf < one, (cssa - wf)
+                           / jnp.maximum(one - wf, tiny), 0.0)
+        cg_d = jnp.where(f < one, (cg - f) / jnp.maximum(one - f, tiny), 0.0)
+        blims = gas_optics.grid.band_lims_gpt_array
+        o_tau = _expand_bands(ct_d, blims)
+        o_ssa = _expand_bands(cssa_d, blims)
+        o_g = _expand_bands(cg_d, blims)
+        tau12 = tau + o_tau
+        tauscat12 = tau * ssa + o_tau * o_ssa
+        g12 = (tau * ssa * g + o_tau * o_ssa * o_g) / jnp.maximum(tauscat12,
+                                                                  tiny)
+        ssa12 = tauscat12 / jnp.maximum(tau12, tiny)
+        g = jnp.where(tauscat12 > 2.0 * tiny, g12, g)
+        ssa = jnp.where(tau12 > 2.0 * tiny, ssa12, ssa)
+        tau = tau12
+    ngpt, nlay, ncol = tau.shape
+    mu0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
+                           (nlay, ncol))
+    alb = jnp.broadcast_to(inputs.sfc_alb[:, 0][None, :], (ngpt, ncol))
+    up, dn, fdir = sw_two_stream_broadband_lanes(
+        tau, ssa, g, mu0, alb, alb, toa, interpret=interpret)
+    up, dn, fdir = up.T, dn.T, fdir.T
+    return Fluxes(flux_up=up, flux_dn=dn, flux_net=dn - up,
+                  flux_dn_dir=fdir)
+
+
 def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                    aerosol_optics=None, use_clouds=True,
                    use_aerosols=False) -> Fluxes:
     """One LW all-sky step (reference timed loop :368-380): cloud optics
     (absorption-only), aerosol optics, gas optics + Planck sources,
     increments, rescaled no-scattering solve with broadband output."""
+    if (not use_aerosols and _lanes_active()
+            and (cloud_optics is not None or not use_clouds)
+            and hasattr(gas_optics, "gas_optics_lw_lanes")):
+        fused = allsky_step_lw_lanes(inputs, gas_optics,
+                                     cloud_optics=cloud_optics,
+                                     use_clouds=use_clouds)
+        if fused is not None:
+            return fused
     props, sources = gas_optics.gas_optics_lw(
         inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
         tlev=inputs.tlev, top_at_1=True)
@@ -133,6 +253,14 @@ def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                    use_aerosols=False) -> Fluxes:
     """One SW all-sky step (reference :388-404): two-stream clouds are
     delta-scaled before incrementing the gas optics."""
+    if (not use_aerosols and _lanes_active()
+            and (cloud_optics is not None or not use_clouds)
+            and hasattr(gas_optics, "gas_optics_sw_lanes")):
+        fused = allsky_step_sw_lanes(inputs, gas_optics,
+                                     cloud_optics=cloud_optics,
+                                     use_clouds=use_clouds)
+        if fused is not None:
+            return fused
     props, toa = gas_optics.gas_optics_sw(
         inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs, top_at_1=True)
     if use_clouds:

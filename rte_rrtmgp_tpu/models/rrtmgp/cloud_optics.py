@@ -202,6 +202,49 @@ class CloudOpticsRRTMGP:
         return OpticalProps2str(tau=tau, ssa=ssa, g=g, grid=self.grid,
                                 top_at_1=top_at_1)
 
+    def cloud_optics_lanes(self, clwp, ciwp, reliq, dgice, *,
+                           interpret: bool = False):
+        """Lane-layout cloud optics for the fused pipeline: returns
+        (tau, tau*ssa, tau*ssa*g) BY BAND, each (nbnd, nlay, ncol) — the
+        cloud LUT kernel's native output with layer-major cells — or None
+        when the lane tables are unavailable. Inputs are the usual
+        (ncol, nlay) user-layout fields."""
+        if self.liq_lane is None or self.ice_lane is None:
+            return None
+        clwp = jnp.asarray(clwp)
+        ciwp = jnp.asarray(ciwp, clwp.dtype)
+        reliq = jnp.asarray(reliq, clwp.dtype)
+        dgice = jnp.asarray(dgice, clwp.dtype)
+        dtype = clwp.dtype
+        ncol, nlay = clwp.shape
+        ncell = ncol * nlay
+        nbnd = self.grid.ngpt
+        icergh0 = self.icergh - 1
+
+        def phase_idx(re, nsteps, step, offset):
+            pos = (re - offset) / step
+            idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nsteps - 2)
+            return (idx0.T.reshape(ncell),
+                    (pos - idx0.astype(dtype)).T.reshape(ncell))
+
+        li, lf = phase_idx(reliq, self.liq_nsteps, self.liq_step_size,
+                           self.radliq_lwr)
+        ii, if_ = phase_idx(dgice, self.ice_nsteps, self.ice_step_size,
+                            self.diamice_lwr)
+        idx = jnp.stack([li, ii], 0)
+        fint = jnp.stack([lf, if_], 0)
+        wp = jnp.stack([
+            (clwp * (clwp > 0.0).astype(dtype)).T.reshape(ncell),
+            (ciwp * (ciwp > 0.0).astype(dtype)).T.reshape(ncell)], 0)
+        out, n = cloud_props_lane(idx, fint, wp, self.liq_lane,
+                                  self.ice_lane[icergh0], nbnd=nbnd,
+                                  interpret=interpret)
+        out = out[:, :n]
+        tau = out[:nbnd].reshape(nbnd, nlay, ncol)
+        taussa = out[nbnd:2 * nbnd].reshape(nbnd, nlay, ncol)
+        taussag = out[2 * nbnd:].reshape(nbnd, nlay, ncol)
+        return tau, taussa, taussag
+
     def validate_inputs(self, clwp, ciwp, reliq, dgice) -> None:
         """Eager bounds checks (reference :346-353)."""
         clwp = np.asarray(clwp)

@@ -21,8 +21,10 @@ from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
 from ...sources import SourcesLW
 from ...config import get_config
 from ...ops.gas_optics import (InterpCoeffs, interpolation, planck_sources,
-                               tau_major, tau_minor, tau_rayleigh)
+                               planck_sources_lanes, tau_major, tau_minor,
+                               tau_rayleigh)
 from ...ops.gas_optics_pallas import (lane_gather_ok, pressure_window_ok,
+                                      pressure_window_ok_from_play,
                                       tau_major_pallas, tau_minor_pallas,
                                       tau_rayleigh_pallas)
 from ..base import infer_top_at_1
@@ -110,14 +112,18 @@ class GasOpticsRRTMGP:
             press_ref_trop_log=kd.press_ref_trop_log, vmr_ref=kd.vmr_ref)
 
     def _compute_taus(self, play, plev, tlay, gas_concs, col_dry, top_at_1,
-                      scattering: bool):
+                      scattering: bool, raw_lanes: bool = False):
         """compute_gas_taus equivalent: absorption (+ Rayleigh) optical
-        depths and the interpolation coefficients for the source function."""
+        depths and the interpolation coefficients for the source function.
+
+        With ``raw_lanes`` the result stays in the Pallas gathers' native
+        lane layout — returns (tau (ngpt, nlay, ncol), ssa_or_None, pfrac)
+        with no (ncol, nlay, ngpt) transposes — or None when the lane
+        pipeline is unavailable (caller falls back)."""
         kd = self.kdist
         self._check_key_species_present(gas_concs)
         col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
                                                     gas_concs, col_dry)
-        coeffs = self._interp(play, tlay, col_gas)
 
         # Pallas lane-gather kernels for the table lookups: auto on TPU
         # when the row domains fit; forced via config.
@@ -130,18 +136,42 @@ class GasOpticsRRTMGP:
         ntemp_k, netam1_k = kd.temp_ref.shape[0], kd.neta - 1
 
         use_major = use_pallas and kd.kmajor_lane is not None
-        if use_major and not isinstance(coeffs.jpress, jax.core.Tracer):
-            # eager guard of the block pressure-window assumption
+        if use_major and not isinstance(play, jax.core.Tracer):
+            # eager guard of the major kernel's block pressure-window
+            # assumption, from concrete pressures (pre-interpolation)
             from ...ops.pallas.major_gather import PSPAN
-            jb = np.asarray(coeffs.jpress) + np.where(
-                np.asarray(coeffs.tropo), 0, 1)
-            use_major = pressure_window_ok(jb, PSPAN)
+            use_major = pressure_window_ok_from_play(
+                play, press_ref_log=kd.press_ref_log,
+                press_ref_log_delta=kd.press_ref_log_delta,
+                press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+        # When the major kernel runs, compute the interpolation state in
+        # layer-major (nlay, ncol) layout: every per-band/per-flavor cell
+        # descriptor the Pallas wrappers build then flattens as a bitcast
+        # instead of a transposed copy (~220 copies on the 30-band step).
+        # The XLA fallbacks expect (ncol, nlay) coeffs, so lm layout also
+        # requires every lane table the pipeline will touch.
+        cells_lm = (use_major
+                    and (kd.kminor_lower_lane is not None)
+                    and (kd.kminor_upper_lane is not None)
+                    and (kd.krayl is None or kd.krayl_lane is not None))
+        if raw_lanes and not cells_lm:
+            return None
+        raw = raw_lanes
+        if cells_lm:
+            play_c, tlay_c = play.T, tlay.T
+            col_gas_c = jnp.swapaxes(col_gas, 1, 2)
+        else:
+            play_c, tlay_c, col_gas_c = play, tlay, col_gas
+        coeffs = self._interp(play_c, tlay_c, col_gas_c)
+
         if use_major:
             tau, pfrac = tau_major_pallas(
                 coeffs, kd.kmajor_lane, neta=kd.neta,
                 gpoint_flavor=kd.gpoint_flavor,
                 band_lims_gpt=kd.grid.band_lims_gpt_array,
-                ntab=kd.kmajor_lane_ntab, interpret=interpret)
+                ntab=kd.kmajor_lane_ntab, cells_lm=cells_lm, raw=raw,
+                interpret=interpret)
         else:
             tau, pfrac = tau_major(
                 coeffs, kd.kmajor_x,
@@ -162,11 +192,13 @@ class GasOpticsRRTMGP:
                 minor_scales_with_density=mset.scales_with_density,
                 scale_by_complement=mset.scale_by_complement,
                 minor_flavor=mset.flavor,
-                play=play, tlay=tlay, col_gas=col_gas, idx_h2o=idx_h2o)
+                play=play_c, tlay=tlay_c, col_gas=col_gas_c,
+                idx_h2o=idx_h2o)
             if use_pallas and klane is not None:
                 tau = tau_minor_pallas(
                     tau, coeffs, klane, ntemp=ntemp_k, netam1=netam1_k,
-                    ncont=ktab.shape[-1], interpret=interpret, **common)
+                    ncont=ktab.shape[-1], cells_lm=cells_lm, raw=raw,
+                    interpret=interpret, **common)
             else:
                 tau = tau_minor(tau, coeffs, ktab, **common)
 
@@ -176,26 +208,36 @@ class GasOpticsRRTMGP:
                     coeffs, kd.krayl_lane, ntemp=ntemp_k, netam1=netam1_k,
                     gpoint_flavor=kd.gpoint_flavor,
                     band_lims_gpt=kd.grid.band_lims_gpt_array,
-                    col_gas=col_gas, col_dry=col_dry_w, idx_h2o=idx_h2o,
+                    col_gas=col_gas_c, col_dry=(col_dry_w.T if cells_lm
+                                                else col_dry_w),
+                    idx_h2o=idx_h2o, cells_lm=cells_lm, raw=raw,
                     interpret=interpret)
             else:
                 tau_ray = tau_rayleigh(
                     coeffs, kd.krayl_x,
                     gpoint_flavor=kd.gpoint_flavor,
                     band_lims_gpt=kd.grid.band_lims_gpt_array,
-                    col_gas=col_gas, col_dry=col_dry_w, idx_h2o=idx_h2o)
+                    col_gas=col_gas_c, col_dry=(col_dry_w.T if cells_lm
+                                                else col_dry_w),
+                    idx_h2o=idx_h2o)
             # combine_abs_and_rayleigh (reference :1954-2036)
             t = tau + tau_ray
             tiny = jnp.finfo(t.dtype).tiny
             if scattering:
                 ssa = jnp.where(t > 2.0 * tiny, tau_ray / jnp.where(
                     t > 2.0 * tiny, t, 1.0), 0.0)
+                if raw_lanes:
+                    return t, ssa, pfrac
                 props = OpticalProps2str(tau=t, ssa=ssa, g=jnp.zeros_like(t),
                                          grid=self.grid, top_at_1=top_at_1)
             else:
+                if raw_lanes:
+                    return t, None, pfrac
                 props = OpticalProps1scl(tau=t, grid=self.grid,
                                          top_at_1=top_at_1)
         else:
+            if raw_lanes:
+                return tau, (jnp.zeros_like(tau) if scattering else None), pfrac
             if scattering:
                 props = OpticalProps2str(tau=tau, ssa=jnp.zeros_like(tau),
                                          g=jnp.zeros_like(tau),
@@ -262,6 +304,56 @@ class GasOpticsRRTMGP:
         ncol = play.shape[0]
         toa = jnp.broadcast_to(kd.solar_source[None, :], (ncol, kd.ngpt))
         return props, toa
+
+    # ------------------------------------------------------------------
+    # Fused lane-layout entry points: spectral fields stay in the Pallas
+    # gathers' native (ngpt, nlay, ncol) layout all the way to the
+    # lane-layout solver kernels (ops/pallas/solver_lanes.py) — zero
+    # (ncol, nlay, ngpt) transposes on the hot path. Inputs/outputs are
+    # top-at-index-0 along the layer axis.
+    # ------------------------------------------------------------------
+    def gas_optics_lw_lanes(self, play, plev, tlay, tsfc,
+                            gas_concs: GasConcs, *, tlev=None, col_dry=None):
+        """LW lane path: (tau (ngpt, nlay, ncol), (sfc_src, lay_src,
+        lev_src, sfc_src_jac) lane sources) or None if the Pallas lane
+        pipeline is unavailable (caller falls back to gas_optics_lw)."""
+        if not self.source_is_internal():
+            raise ValueError("rrtmgp gas optics: k-distribution is SW")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        plev = jnp.asarray(plev)
+        tlay = jnp.asarray(tlay)
+        tsfc = jnp.asarray(tsfc, play.dtype)
+        out = self._compute_taus(play, plev, tlay, gas_concs, col_dry,
+                                 True, scattering=False, raw_lanes=True)
+        if out is None:
+            return None
+        tau, _, pfrac = out
+        tlev_w = (jnp.asarray(tlev) if tlev is not None
+                  else self.interp_tlev(tlay, play, plev))
+        sources = planck_sources_lanes(
+            pfrac, totplnk=kd.totplnk, totplnk_delta=kd.totplnk_delta,
+            temp_ref_min=kd.temp_ref_min, gpt2band=kd.grid.gpt2band,
+            tlay=tlay.T, tlev=tlev_w.T, tsfc=tsfc, top_at_1=True)
+        return tau, sources
+
+    def gas_optics_sw_lanes(self, play, plev, tlay, gas_concs: GasConcs,
+                            *, col_dry=None):
+        """SW lane path: (tau, ssa (ngpt, nlay, ncol), toa (ngpt, ncol))
+        or None if the Pallas lane pipeline is unavailable."""
+        if not self.source_is_external():
+            raise ValueError("rrtmgp gas optics: k-distribution is LW")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        out = self._compute_taus(play, jnp.asarray(plev), jnp.asarray(tlay),
+                                 gas_concs, col_dry, True, scattering=True,
+                                 raw_lanes=True)
+        if out is None:
+            return None
+        tau, ssa, _ = out
+        ncol = play.shape[0]
+        toa = jnp.broadcast_to(kd.solar_source[:, None], (kd.ngpt, ncol))
+        return tau, ssa, toa
 
     # ------------------------------------------------------------------
     def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:

@@ -399,3 +399,45 @@ def planck_sources(pfrac, *, totplnk, totplnk_delta,
     pb_lev = planck_bands(tlev)
     lev_src = pf_lev * pb_lev[..., band_of_gpt]
     return sfc_src, lay_src, lev_src, sfc_src_jac
+
+
+def planck_sources_lanes(pfrac, *, totplnk, totplnk_delta,
+                         temp_ref_min, gpt2band,
+                         tlay, tlev, tsfc, top_at_1: bool):
+    """Lane-layout :func:`planck_sources`: identical numerics on the
+    gas-optics gathers' native layout — pfrac (ngpt, nlay, ncol), tlay
+    (nlay, ncol), tlev (nlay+1, ncol), tsfc (ncol,).
+
+    Returns (sfc_src (ngpt, ncol), lay_src (ngpt, nlay, ncol),
+    lev_src (ngpt, nlay+1, ncol), sfc_src_jac (ngpt, ncol))."""
+    band_of_gpt = jnp.asarray(np.asarray(gpt2band), jnp.int32)
+    tot_t = jnp.asarray(totplnk).T                           # (nbnd, nT)
+    ntab = tot_t.shape[1]
+
+    def planck_gpt(t):
+        # interp1d_table with the band axis leading, expanded to g-points
+        val0 = jax.lax.optimization_barrier((t - temp_ref_min)
+                                            / totplnk_delta)
+        frac = val0 - jnp.trunc(val0)
+        idx = jnp.clip(val0.astype(jnp.int32), 0, ntab - 2)
+        lo = jnp.take(tot_t, idx, axis=1)                    # (nbnd, ...)
+        hi = jnp.take(tot_t, idx + 1, axis=1)
+        return (lo + frac[None] * (hi - lo))[band_of_gpt]    # (ngpt, ...)
+
+    # surface (+1K Jacobian, reference delta_Tsurf=1)
+    sfc_lay = -1 if top_at_1 else 0
+    pf_sfc = pfrac[:, sfc_lay, :]                            # (g, c)
+    pb_sfc = planck_gpt(tsfc)                                # (g, c)
+    pb_sfc1 = planck_gpt(tsfc + 1.0)
+    sfc_src = pf_sfc * pb_sfc
+    sfc_src_jac = pf_sfc * (pb_sfc1 - pb_sfc)
+
+    lay_src = pfrac * planck_gpt(tlay)                       # (g, l, c)
+
+    # levels: geometric mean of adjacent layers' pfrac in the interior
+    # (reference :695-706); end levels use the adjacent layer's pfrac
+    pf_in = jnp.sqrt(pfrac[:, 1:, :] * pfrac[:, :-1, :])
+    pf_lev = jnp.concatenate([pfrac[:, :1, :], pf_in, pfrac[:, -1:, :]],
+                             axis=1)                         # (g, l+1, c)
+    lev_src = pf_lev * planck_gpt(tlev)
+    return sfc_src, lay_src, lev_src, sfc_src_jac

@@ -32,6 +32,19 @@ def _flavor_groups(flavors):
     return groups
 
 
+def _unflatten_cells(out_gpt_cell, ncol, nlay, cells_lm, raw=False):
+    """(ngpt, ncell) -> (ncol, nlay, ngpt); or, with ``raw`` (requires
+    cells_lm), the free bitcast to lane layout (ngpt, nlay, ncol)."""
+    ngpt = out_gpt_cell.shape[0]
+    if raw:
+        assert cells_lm, "raw lane output requires layer-major cells"
+        return out_gpt_cell.reshape(ngpt, nlay, ncol)
+    if cells_lm:   # cells are layer-major (lay, col)
+        return jnp.moveaxis(out_gpt_cell.reshape(ngpt, nlay, ncol), 0, -1
+                            ).swapaxes(0, 1)
+    return out_gpt_cell.T.reshape(ncol, nlay, ngpt)
+
+
 def _idx_fm(coeffs: InterpCoeffs, netam1: int, flavs):
     """Interpolation rows and eta weights per (group flavor, itemp[, deta]),
     flattened over cells."""
@@ -53,14 +66,21 @@ def tau_minor_pallas(tau, coeffs: InterpCoeffs, table_lane, *, lower: bool,
                      idx_minor_scaling, minor_scales_with_density,
                      scale_by_complement, minor_flavor,
                      play, tlay, col_gas, idx_h2o: int,
+                     cells_lm: bool = False, raw: bool = False,
                      interpret: bool = False):
     """Minor-gas optical depths via the lane-gather kernel (reference
-    gas_optical_depths_minor, kernels :402-501)."""
+    gas_optical_depths_minor, kernels :402-501).
+
+    With ``cells_lm`` the per-cell inputs (coeffs/play/tlay/col_gas) are
+    (nlay, ncol) layer-major, so every flatten below is a free bitcast."""
     nm = len(kminor_start)
     if nm == 0:
         return tau
     dtype = tau.dtype
-    ncol, nlay, ngpt = tau.shape
+    if raw:
+        ngpt, nlay, ncol = tau.shape
+    else:
+        ncol, nlay, ngpt = tau.shape
     ncell = ncol * nlay
 
     mask = coeffs.tropo if lower else jnp.logical_not(coeffs.tropo)
@@ -95,13 +115,14 @@ def tau_minor_pallas(tau, coeffs: InterpCoeffs, table_lane, *, lower: bool,
     out_t, n = minor_contributions_lane(
         idx, fm, scaling_all, table_lane, groups=groups, ncont=ncont,
         ngpt=ngpt, interpret=interpret)
-    contrib = out_t[:, :n].T.reshape(ncol, nlay, ngpt)
+    contrib = _unflatten_cells(out_t[:, :n], ncol, nlay, cells_lm, raw)
     return tau + contrib
 
 
 def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
                         netam1: int, gpoint_flavor, band_lims_gpt,
                         col_gas, col_dry, idx_h2o: int,
+                        cells_lm: bool = False, raw: bool = False,
                         interpret: bool = False):
     """Rayleigh optical depth via the lane-gather kernel (reference
     compute_tau_rayleigh, kernels :506-565). Both-atmosphere payloads are
@@ -109,7 +130,10 @@ def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
     gflav = np.asarray(gpoint_flavor)
     bands = np.asarray(band_lims_gpt)
     nbnd = bands.shape[0]
-    ncol, nlay = coeffs.jtemp.shape
+    if cells_lm:
+        nlay, ncol = coeffs.jtemp.shape
+    else:
+        ncol, nlay = coeffs.jtemp.shape
     ncell = ncol * nlay
     ngpt = int(bands[-1, 1])
 
@@ -150,8 +174,8 @@ def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
     out_t, n = rayleigh_k_lane(idx, fm, tropo, table_lane,
                                band_groups=band_groups, ngpt=ngpt,
                                interpret=interpret)
-    k = out_t[:, :n].T.reshape(ncol, nlay, ngpt)
-    return k * (col_gas[idx_h2o] + col_dry)[..., None]
+    scale = (col_gas[idx_h2o] + col_dry).reshape(1, ncell)
+    return _unflatten_cells(out_t[:, :n] * scale, ncol, nlay, cells_lm, raw)
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +184,8 @@ def tau_rayleigh_pallas(coeffs: InterpCoeffs, table_lane, *, ntemp: int,
 
 def pressure_window_ok(jp_base: np.ndarray, pspan: int) -> bool:
     """Eager check of the PSPAN assumption: max in-block pressure-index
-    span over 128-cell layer-major blocks (see pallas/major_gather.py)."""
+    span over 128-cell layer-major blocks (see pallas/major_gather.py).
+    ``jp_base`` is (ncol, nlay) user layout."""
     flat = np.asarray(jp_base).T.reshape(-1)
     pad = (-flat.size) % 128
     if pad:
@@ -169,24 +194,49 @@ def pressure_window_ok(jp_base: np.ndarray, pspan: int) -> bool:
     return int((blocks.max(1) - blocks.min(1)).max()) <= pspan - 2
 
 
+def pressure_window_ok_from_play(play, *, press_ref_log,
+                                 press_ref_log_delta, press_ref_trop_log,
+                                 pspan: int) -> bool:
+    """Eager PSPAN guard computed directly from concrete pressures, so the
+    major-kernel layout decision can be made *before* interpolation runs.
+    Mirrors the jpress/tropo computation in ops.gas_optics.interpolation
+    (reference kernels :111-117); off-by-one disagreements with the traced
+    computation only shift a cell into the clamped nearest-window path."""
+    play = np.asarray(play, np.float64)
+    npres = int(np.asarray(press_ref_log).shape[0])
+    locpress = 1.0 + ((np.log(play) - float(np.asarray(press_ref_log)[0]))
+                      / float(press_ref_log_delta))
+    jpress = np.clip(np.trunc(locpress), 1.0, npres - 1).astype(np.int64) - 1
+    tropo = play > np.exp(float(press_ref_trop_log))
+    jb = jpress + np.where(tropo, 0, 1)
+    return pressure_window_ok(jb, pspan)
+
+
 def tau_major_pallas(coeffs: InterpCoeffs, table_lane, *, neta: int,
                      gpoint_flavor, band_lims_gpt, ntab: int,
+                     cells_lm: bool = False, raw: bool = False,
                      interpret: bool = False):
     """Major-gas tau (+ Planck fraction when ntab=2) via the lane-gather
     kernel (reference gas_optical_depths_major / interpolate3D_byflav,
     kernels :345-396, :765-803). Returns (tau, pfrac_or_None), each
-    (ncol, nlay, ngpt)."""
+    (ncol, nlay, ngpt).
+
+    The kernel requires LAYER-major cells; with ``cells_lm`` the coeffs
+    are already (nlay, ncol) and every flatten is a free bitcast."""
     from .pallas.major_gather import major_interp_lane
 
     gflav = np.asarray(gpoint_flavor)
     bands = np.asarray(band_lims_gpt)
     nbnd = bands.shape[0]
     w = int(bands[0, 1]) - int(bands[0, 0]) + 1
-    ncol, nlay = coeffs.jtemp.shape
+    if cells_lm:
+        nlay, ncol = coeffs.jtemp.shape
+    else:
+        ncol, nlay = coeffs.jtemp.shape
     ncell = ncol * nlay
 
     def lm(x):  # layer-major flatten
-        return x.T.reshape(ncell)
+        return x.reshape(ncell) if cells_lm else x.T.reshape(ncell)
 
     te_rows, fe_rows, cm_rows = [], [], []
     for b in range(nbnd):
@@ -221,9 +271,15 @@ def tau_major_pallas(coeffs: InterpCoeffs, table_lane, *, neta: int,
     out = out[:, :n]                                      # (nbnd*ntab*w, n)
     per_band = out.reshape(nbnd, ntab, w, ncell)
 
-    def unflatten(rows):                                  # (nbnd, w, ncell)
-        x = jnp.moveaxis(rows, -1, 0).reshape(nlay, ncol, nbnd * w)
-        return jnp.swapaxes(x, 0, 1)
+    if raw:
+        assert cells_lm, "raw lane output requires layer-major cells"
+
+        def unflatten(rows):                              # (nbnd, w, ncell)
+            return rows.reshape(nbnd * w, nlay, ncol)
+    else:
+        def unflatten(rows):                              # (nbnd, w, ncell)
+            x = jnp.moveaxis(rows, -1, 0).reshape(nlay, ncol, nbnd * w)
+            return jnp.swapaxes(x, 0, 1)
 
     tau = unflatten(per_band[:, 0])
     pfrac = unflatten(per_band[:, 1]) if ntab == 2 else None

@@ -36,43 +36,80 @@ from .minor_gather import _BC, LANE_ROWS_MAX, _gather_rows, pad_cells
 __all__ = ["major_interp_lane", "PSPAN"]
 
 PSPAN = 4   # pressure-window rows per block (max in-block span PSPAN-2)
+_SUB = 8    # 128-cell lane groups per grid step (amortizes pipeline
+            # overhead, the dominant cost at one group per step)
 
 
-def _major_kernel(te_ref, fe_ref, cm_ref, ft_ref, fp_ref, jp_ref, tab_ref,
+def _major_kernel(bd_ref, fp_ref, jp_ref, tab_ref,
                   out_ref, *, ntab, w, pspan):
     ntw = ntab * w
-    b = pl.program_id(0)
-    jp = jp_ref[0, :]
-    jp0 = jnp.min(jp)
-    # clamp keeps out-of-window cells finite (nearest-window interpolation)
-    jpl = jnp.clip(jp - jp0, 0, pspan - 2)
-    fp = fp_ref[0, :][None, :]
-    slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]      # (pspan*ntw, BC)
+    # per-band descriptor pack: rows [te0, te1, fe0, fe1, cm0, cm1, ft0,
+    # ft1] — 8 aligned sublanes per band so each grid step streams only
+    # its own band's descriptors (not the full band-row matrix)
+    bd_all = bd_ref[0]
 
-    acc = None
-    for it in range(2):
-        te = te_ref[2 * b + it, :]
-        fe = fe_ref[2 * b + it, :][None, :]
-        g0 = _gather_rows(slab, te)                          # (pspan*ntw, BC)
-        g1 = _gather_rows(slab, te + 1)                      # eta corner
-        kk = (1.0 - fe) * g0 + fe * g1
-        # per-cell pressure corners: one-hot select inside the window
-        sel0 = jnp.zeros((ntw, _BC), kk.dtype)
-        sel1 = jnp.zeros((ntw, _BC), kk.dtype)
-        for p in range(pspan - 1):
-            m = (jpl == p).astype(kk.dtype)[None, :]
-            sel0 = sel0 + m * kk[p * ntw:(p + 1) * ntw, :]
-            sel1 = sel1 + m * kk[(p + 1) * ntw:(p + 2) * ntw, :]
-        pres = (1.0 - fp) * sel0 + fp * sel1
-        ftv = ft_ref[it, :][None, :]
-        cmv = cm_ref[2 * b + it, :][None, :]
-        if ntab == 2:
-            term = jnp.concatenate(
-                [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]], axis=0)
-        else:
-            term = (ftv * cmv) * pres
-        acc = term if acc is None else acc + term
-    out_ref[:, :] = acc
+    for s in range(_SUB):
+        cs = slice(s * _BC, (s + 1) * _BC)
+        jp = jp_ref[0, cs]
+        jp0 = jnp.min(jp)
+        # clamp keeps out-of-window cells finite (nearest-window interp)
+        jpl = jnp.clip(jp - jp0, 0, pspan - 2)
+        fp = fp_ref[0, cs][None, :]
+        uniform = jnp.max(jp) == jp0
+        bd = bd_all[:, cs]
+
+        def combine(pres_of_it, bd=bd, cs=cs):
+            acc = None
+            for it in range(2):
+                pres = pres_of_it(it)
+                ftv = bd[6 + it, :][None, :]
+                cmv = bd[4 + it, :][None, :]
+                if ntab == 2:
+                    term = jnp.concatenate(
+                        [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]],
+                        axis=0)
+                else:
+                    term = (ftv * cmv) * pres
+                acc = term if acc is None else acc + term
+            out_ref[:, cs] = acc
+
+        # Fast path: the lane group shares one pressure index (physically
+        # the common case — layer-major blocks of same-layer columns), so
+        # only the two needed pressure rows are gathered.
+        @pl.when(uniform)
+        def _(bd=bd, fp=fp, jp0=jp0, combine=combine):
+            slab = tab_ref[0, pl.ds(jp0 * ntw, 2 * ntw), :]  # (2*ntw, BC)
+
+            def pres_of_it(it):
+                te = bd[it, :].astype(jnp.int32)
+                fe = bd[2 + it, :][None, :]
+                g0 = _gather_rows(slab, te)
+                g1 = _gather_rows(slab, te + 1)              # eta corner
+                kk = (1.0 - fe) * g0 + fe * g1
+                return (1.0 - fp) * kk[:ntw, :] + fp * kk[ntw:, :]
+
+            combine(pres_of_it)
+
+        @pl.when(jnp.logical_not(uniform))
+        def _(bd=bd, fp=fp, jp0=jp0, jpl=jpl, combine=combine):
+            slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]
+
+            def pres_of_it(it):
+                te = bd[it, :].astype(jnp.int32)
+                fe = bd[2 + it, :][None, :]
+                g0 = _gather_rows(slab, te)                  # (pspan*ntw, BC)
+                g1 = _gather_rows(slab, te + 1)              # eta corner
+                kk = (1.0 - fe) * g0 + fe * g1
+                # per-cell pressure corners: one-hot select in the window
+                sel0 = jnp.zeros((ntw, _BC), kk.dtype)
+                sel1 = jnp.zeros((ntw, _BC), kk.dtype)
+                for p in range(pspan - 1):
+                    m = (jpl == p).astype(kk.dtype)[None, :]
+                    sel0 = sel0 + m * kk[p * ntw:(p + 1) * ntw, :]
+                    sel1 = sel1 + m * kk[(p + 1) * ntw:(p + 2) * ntw, :]
+                return (1.0 - fp) * sel0 + fp * sel1
+
+            combine(pres_of_it)
 
 
 def major_interp_lane(te, fe, cm, ft, fp, jp, table_lane, *, nbnd: int,
@@ -90,34 +127,41 @@ def major_interp_lane(te, fe, cm, ft, fp, jp, table_lane, *, nbnd: int,
     Returns ((ntab*ngpt, ncell_padded), ncell): for each band, rows
     [band*ntab*w : ...] hold [tau gpts, planck gpts].
     """
-    (te, n), (fe, _), (cm, _) = pad_cells(te), pad_cells(fe), pad_cells(cm)
-    (ft, _), (fp, _), (jp, _) = pad_cells(ft), pad_cells(fp), pad_cells(jp)
+    mult = _SUB * _BC
+    (te, n), (fe, _), (cm, _) = (pad_cells(te, mult), pad_cells(fe, mult),
+                                 pad_cells(cm, mult))
+    (ft, _), (fp, _), (jp, _) = (pad_cells(ft, mult), pad_cells(fp, mult),
+                                 pad_cells(jp, mult))
     ncell_p = te.shape[-1]
+    # Pack the per-(band, itemp) descriptors band-major with 8 aligned
+    # sublane rows [te0, te1, fe0, fe1, cm0, cm1, ft0, ft1] so each grid
+    # step streams 8 rows instead of the full 3*(nbnd*2)+2 row matrix
+    # (a 12x HBM-traffic cut at production band counts). te is exact in
+    # f32 (lane indices < 2^11).
+    dtype = fe.dtype
+    te2 = te.astype(dtype).reshape(nbnd, 2, ncell_p)
+    fe2 = fe.reshape(nbnd, 2, ncell_p)
+    cm2 = cm.reshape(nbnd, 2, ncell_p)
+    ft2 = jnp.broadcast_to(ft[None], (nbnd, 2, ncell_p))
+    bd = jnp.concatenate([te2, fe2, cm2, ft2], axis=1)     # (nbnd, 8, ncell)
     kern = functools.partial(_major_kernel, ntab=ntab, w=w, pspan=PSPAN)
+    bw = _SUB * _BC
     out = pl.pallas_call(
         kern,
-        grid=(nbnd, ncell_p // _BC),
+        grid=(nbnd, ncell_p // bw),
         in_specs=[
-            # full band-row blocks (Mosaic needs sublane dims divisible by
-            # 8 or full); the kernel selects rows 2*band(+it) itself
-            pl.BlockSpec((nbnd * 2, _BC), lambda b, i: (0, i),
+            pl.BlockSpec((1, 8, bw), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbnd * 2, _BC), lambda b, i: (0, i),
+            pl.BlockSpec((1, bw), lambda b, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbnd * 2, _BC), lambda b, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _BC), lambda b, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BC), lambda b, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BC), lambda b, i: (0, i),
+            pl.BlockSpec((1, bw), lambda b, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
                          lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ntab * w, _BC), lambda b, i: (b, i),
+        out_specs=pl.BlockSpec((ntab * w, bw), lambda b, i: (b, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nbnd * ntab * w, ncell_p), fe.dtype),
         interpret=interpret,
-    )(te, fe, cm, ft, fp, jp, table_lane)
+    )(bd, fp, jp, table_lane)
     return out, n

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lw_noscat_broadband_lane"]
 
-_BCOL = 8
+_BCOL = 16
 _BGPT = 128
 
 

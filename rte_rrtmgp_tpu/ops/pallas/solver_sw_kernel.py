@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sw_two_stream_broadband_lane"]
 
-_BCOL = 8
+_BCOL = 16
 _BGPT = 128
 
 

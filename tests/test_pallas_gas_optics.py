@@ -229,3 +229,41 @@ def test_pallas_lw_solver_matches_xla(rescale, top_at_1):
     np.testing.assert_allclose(np.asarray(out.flux_up_jac),
                                np.asarray(ref.flux_up_jac), rtol=2e-5,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("sw", [False, True])
+@pytest.mark.parametrize("clouds", [False, True])
+def test_fused_lane_step_matches_generic(sw, clouds):
+    """The fused lane-layout all-sky step (gas optics -> cloud increment
+    -> solver, all in (ngpt, nlay, ncol) layout) must match the generic
+    OpticalProps pipeline."""
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw,
+                                               allsky_step_lw_lanes,
+                                               allsky_step_sw,
+                                               allsky_step_sw_lanes)
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+
+    kd = synthetic_kdist(sw=sw, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd.grid.band_lims_wvn_array)
+    # 128 columns: each layer-major 128-cell block sits in one layer, so
+    # the major kernel's pressure-window guard passes and the full lane
+    # pipeline (major + minors + rayleigh + solver) is exercised
+    inputs = make_allsky_inputs(128, 4, cloud_optics=cld)
+
+    step = allsky_step_sw if sw else allsky_step_lw
+    fused_fn = allsky_step_sw_lanes if sw else allsky_step_lw_lanes
+    kw = dict(cloud_optics=cld if clouds else None, use_clouds=clouds)
+
+    set_use_pallas(False)
+    ref = step(inputs, gop, **kw)
+    set_use_pallas(True)
+    fused = fused_fn(inputs, gop, **kw)
+    assert fused is not None, "lane pipeline unexpectedly unavailable"
+
+    for name in ("flux_up", "flux_dn") + (("flux_dn_dir",) if sw else ()):
+        a = np.asarray(getattr(fused, name))
+        b = np.asarray(getattr(ref, name))
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=5e-4,
+                                   err_msg=f"{name} sw={sw} clouds={clouds}")
