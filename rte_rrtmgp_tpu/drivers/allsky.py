@@ -125,15 +125,26 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
     no-scattering solve all in the gathers' native (ngpt, nlay, ncol)
     layout (see ops/pallas/solver_lanes.py). Returns None when the lane
     pipeline is unavailable and the caller must take the generic path."""
-    from ..ops.pallas.solver_lanes import lw_noscat_broadband_lanes
+    from ..ops.pallas.solver_lanes import (lw_noscat_broadband_lanes,
+                                           lw_noscat_broadband_lanes_pfrac)
     from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
+
+    # mega-kernel eligibility: uniform band width, multiple of the 8-row
+    # g-point block (production k-distributions: 16 gpt/band)
+    lims = np.asarray(gas_optics.grid.band_lims_gpt_array)
+    widths = lims[:, 1] - lims[:, 0] + 1
+    w0 = int(widths[0])
+    banded = bool((widths == w0).all() and w0 % 8 == 0)
 
     out = gas_optics.gas_optics_lw_lanes(
         inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
-        tlev=inputs.tlev)
+        tlev=inputs.tlev, banded_planck=banded)
     if out is None:
         return None
-    tau, (sfc_src, lay_src, lev_src, _jac) = out
+    if banded:
+        tau, pfrac, (pb_sfc, pb_lay, pb_lev) = out
+    else:
+        tau, (sfc_src, lay_src, lev_src, _jac) = out
     interpret = jax.default_backend() in ("cpu", "gpu")
     if use_clouds and cloud_optics is not None:
         cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
@@ -149,9 +160,15 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
     ngpt, _, ncol = tau.shape
     emis = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :], (ngpt, ncol))
     inc = jnp.zeros((ngpt, ncol), tau.dtype)
-    up, dn, _ = lw_noscat_broadband_lanes(
-        tau, lay_src, lev_src, emis, sfc_src, inc,
-        ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0], interpret=interpret)
+    if banded:
+        up, dn = lw_noscat_broadband_lanes_pfrac(
+            tau, pfrac, pb_lay, pb_lev, pb_sfc, emis, inc,
+            ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0], band_width=w0,
+            interpret=interpret)
+    else:
+        up, dn, _ = lw_noscat_broadband_lanes(
+            tau, lay_src, lev_src, emis, sfc_src, inc,
+            ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0], interpret=interpret)
     up, dn = up.T, dn.T
     return Fluxes(flux_up=up, flux_dn=dn, flux_net=dn - up)
 
@@ -160,17 +177,26 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
                          cloud_optics=None, use_clouds=True) -> Optional[Fluxes]:
     """Fused lane-layout SW step: gas optics + Rayleigh, delta-scaled
     cloud increment, and the two-stream solve in lane layout."""
-    from ..ops.pallas.solver_lanes import sw_two_stream_broadband_lanes
+    from ..ops.pallas.solver_lanes import (
+        sw_two_stream_broadband_lanes, sw_two_stream_broadband_lanes_combined)
+
+    # mega-kernel eligibility: uniform band width, multiple of the 8-row
+    # g-point block (production k-distributions: 16 gpt/band)
+    lims = np.asarray(gas_optics.grid.band_lims_gpt_array)
+    widths = lims[:, 1] - lims[:, 0] + 1
+    w0 = int(widths[0])
+    banded = bool((widths == w0).all() and w0 % 8 == 0)
 
     out = gas_optics.gas_optics_sw_lanes(
-        inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs)
+        inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs,
+        split_rayleigh=banded)
     if out is None:
         return None
-    tau, ssa, toa = out
+    tau, ssa_or_ray, toa = out
     dtype = tau.dtype
-    g = jnp.zeros_like(tau)
     tiny = jnp.finfo(dtype).tiny
     interpret = jax.default_backend() in ("cpu", "gpu")
+    cld_banded = None
     if use_clouds and cloud_optics is not None:
         cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
                                               inputs.rel, inputs.dei,
@@ -181,8 +207,8 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
         eps = jnp.finfo(dtype).eps
         cg = ctsg / jnp.maximum(eps, cts)
         cssa = cts / jnp.maximum(eps, ct)
-        # delta-Eddington scale (f = g^2) then 2str += 2str by band —
-        # identical formulas to optical_props.delta_scale / increment
+        # delta-Eddington scale (f = g^2) — identical formulas to
+        # optical_props.delta_scale, applied at band resolution
         one = jnp.asarray(1.0, dtype)
         f = cg * cg
         wf = cssa * f
@@ -190,24 +216,35 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
         cssa_d = jnp.where(wf < one, (cssa - wf)
                            / jnp.maximum(one - wf, tiny), 0.0)
         cg_d = jnp.where(f < one, (cg - f) / jnp.maximum(one - f, tiny), 0.0)
-        blims = gas_optics.grid.band_lims_gpt_array
-        o_tau = _expand_bands(ct_d, blims)
-        o_ssa = _expand_bands(cssa_d, blims)
-        o_g = _expand_bands(cg_d, blims)
-        tau12 = tau + o_tau
-        tauscat12 = tau * ssa + o_tau * o_ssa
-        g12 = (tau * ssa * g + o_tau * o_ssa * o_g) / jnp.maximum(tauscat12,
-                                                                  tiny)
-        ssa12 = tauscat12 / jnp.maximum(tau12, tiny)
-        g = jnp.where(tauscat12 > 2.0 * tiny, g12, g)
-        ssa = jnp.where(tau12 > 2.0 * tiny, ssa12, ssa)
-        tau = tau12
+        cld_banded = (ct_d, cssa_d, cg_d)
     ngpt, nlay, ncol = tau.shape
     mu0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
                            (nlay, ncol))
     alb = jnp.broadcast_to(inputs.sfc_alb[:, 0][None, :], (ngpt, ncol))
-    up, dn, fdir = sw_two_stream_broadband_lanes(
-        tau, ssa, g, mu0, alb, alb, toa, interpret=interpret)
+    if banded:
+        # mega-kernel: Rayleigh combine + cloud increment in-solver
+        up, dn, fdir = sw_two_stream_broadband_lanes_combined(
+            tau, ssa_or_ray, cld_banded, mu0, alb, alb, toa,
+            band_width=w0, interpret=interpret)
+    else:
+        ssa = ssa_or_ray
+        g = jnp.zeros_like(tau)
+        if cld_banded is not None:
+            # 2str += 2str by band (increment_2stream_by_2stream + _bybnd)
+            blims = gas_optics.grid.band_lims_gpt_array
+            o_tau = _expand_bands(cld_banded[0], blims)
+            o_ssa = _expand_bands(cld_banded[1], blims)
+            o_g = _expand_bands(cld_banded[2], blims)
+            tau12 = tau + o_tau
+            tauscat12 = tau * ssa + o_tau * o_ssa
+            g12 = (tau * ssa * g + o_tau * o_ssa * o_g) \
+                / jnp.maximum(tauscat12, tiny)
+            ssa12 = tauscat12 / jnp.maximum(tau12, tiny)
+            g = jnp.where(tauscat12 > 2.0 * tiny, g12, g)
+            ssa = jnp.where(tau12 > 2.0 * tiny, ssa12, ssa)
+            tau = tau12
+        up, dn, fdir = sw_two_stream_broadband_lanes(
+            tau, ssa, g, mu0, alb, alb, toa, interpret=interpret)
     up, dn, fdir = up.T, dn.T, fdir.T
     return Fluxes(flux_up=up, flux_dn=dn, flux_net=dn - up,
                   flux_dn_dir=fdir)

@@ -20,7 +20,8 @@ from ...gas_concs import GasConcs
 from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
 from ...sources import SourcesLW
 from ...config import get_config
-from ...ops.gas_optics import (InterpCoeffs, interpolation, planck_sources,
+from ...ops.gas_optics import (InterpCoeffs, interpolation,
+                               planck_bands_lanes, planck_sources,
                                planck_sources_lanes, tau_major, tau_minor,
                                tau_rayleigh)
 from ...ops.gas_optics_pallas import (lane_gather_ok, pressure_window_ok,
@@ -112,7 +113,8 @@ class GasOpticsRRTMGP:
             press_ref_trop_log=kd.press_ref_trop_log, vmr_ref=kd.vmr_ref)
 
     def _compute_taus(self, play, plev, tlay, gas_concs, col_dry, top_at_1,
-                      scattering: bool, raw_lanes: bool = False):
+                      scattering: bool, raw_lanes: bool = False,
+                      split_rayleigh: bool = False):
         """compute_gas_taus equivalent: absorption (+ Rayleigh) optical
         depths and the interpolation coefficients for the source function.
 
@@ -220,6 +222,9 @@ class GasOpticsRRTMGP:
                     col_gas=col_gas_c, col_dry=(col_dry_w.T if cells_lm
                                                 else col_dry_w),
                     idx_h2o=idx_h2o)
+            if raw_lanes and split_rayleigh:
+                # mega-kernel path: Rayleigh combine happens in-solver
+                return tau, tau_ray, pfrac
             # combine_abs_and_rayleigh (reference :1954-2036)
             t = tau + tau_ray
             tiny = jnp.finfo(t.dtype).tiny
@@ -236,6 +241,8 @@ class GasOpticsRRTMGP:
                 props = OpticalProps1scl(tau=t, grid=self.grid,
                                          top_at_1=top_at_1)
         else:
+            if raw_lanes and split_rayleigh:
+                return tau, jnp.zeros_like(tau), pfrac
             if raw_lanes:
                 return tau, (jnp.zeros_like(tau) if scattering else None), pfrac
             if scattering:
@@ -313,10 +320,17 @@ class GasOpticsRRTMGP:
     # top-at-index-0 along the layer axis.
     # ------------------------------------------------------------------
     def gas_optics_lw_lanes(self, play, plev, tlay, tsfc,
-                            gas_concs: GasConcs, *, tlev=None, col_dry=None):
+                            gas_concs: GasConcs, *, tlev=None, col_dry=None,
+                            banded_planck: bool = False):
         """LW lane path: (tau (ngpt, nlay, ncol), (sfc_src, lay_src,
         lev_src, sfc_src_jac) lane sources) or None if the Pallas lane
-        pipeline is unavailable (caller falls back to gas_optics_lw)."""
+        pipeline is unavailable (caller falls back to gas_optics_lw).
+
+        With ``banded_planck`` the Planck sources stay band-integrated:
+        returns (tau, pfrac (ngpt, nlay, ncol), (pb_sfc (nbnd, ncol),
+        pb_lay (nbnd, nlay, ncol), pb_lev (nbnd, nlay+1, ncol))) for the
+        mega-kernel (lw_noscat_broadband_lanes_pfrac), which computes the
+        per-g-point sources in VMEM."""
         if not self.source_is_internal():
             raise ValueError("rrtmgp gas optics: k-distribution is SW")
         kd = self.kdist
@@ -331,6 +345,11 @@ class GasOpticsRRTMGP:
         tau, _, pfrac = out
         tlev_w = (jnp.asarray(tlev) if tlev is not None
                   else self.interp_tlev(tlay, play, plev))
+        if banded_planck:
+            pb = lambda t: planck_bands_lanes(
+                t, totplnk=kd.totplnk, totplnk_delta=kd.totplnk_delta,
+                temp_ref_min=kd.temp_ref_min)
+            return tau, pfrac, (pb(tsfc), pb(tlay.T), pb(tlev_w.T))
         sources = planck_sources_lanes(
             pfrac, totplnk=kd.totplnk, totplnk_delta=kd.totplnk_delta,
             temp_ref_min=kd.temp_ref_min, gpt2band=kd.grid.gpt2band,
@@ -338,16 +357,19 @@ class GasOpticsRRTMGP:
         return tau, sources
 
     def gas_optics_sw_lanes(self, play, plev, tlay, gas_concs: GasConcs,
-                            *, col_dry=None):
+                            *, col_dry=None, split_rayleigh: bool = False):
         """SW lane path: (tau, ssa (ngpt, nlay, ncol), toa (ngpt, ncol))
-        or None if the Pallas lane pipeline is unavailable."""
+        or None if the Pallas lane pipeline is unavailable. With
+        ``split_rayleigh`` the first two returns are instead
+        (tau_absorption, tau_rayleigh) for the SW mega-kernel, which
+        performs combine_abs_and_rayleigh in-solver."""
         if not self.source_is_external():
             raise ValueError("rrtmgp gas optics: k-distribution is LW")
         kd = self.kdist
         play = jnp.asarray(play)
         out = self._compute_taus(play, jnp.asarray(plev), jnp.asarray(tlay),
                                  gas_concs, col_dry, True, scattering=True,
-                                 raw_lanes=True)
+                                 raw_lanes=True, split_rayleigh=split_rayleigh)
         if out is None:
             return None
         tau, ssa, _ = out

@@ -401,6 +401,20 @@ def planck_sources(pfrac, *, totplnk, totplnk_delta,
     return sfc_src, lay_src, lev_src, sfc_src_jac
 
 
+def planck_bands_lanes(t, *, totplnk, totplnk_delta, temp_ref_min):
+    """Band-integrated Planck function by temperature with the band axis
+    leading: t (...) -> (nbnd, ...). Same numerics as interp1d_table
+    (reference interpolate1D, kernels :715-737)."""
+    tot_t = jnp.asarray(totplnk).T                           # (nbnd, nT)
+    ntab = tot_t.shape[1]
+    val0 = jax.lax.optimization_barrier((t - temp_ref_min) / totplnk_delta)
+    frac = val0 - jnp.trunc(val0)
+    idx = jnp.clip(val0.astype(jnp.int32), 0, ntab - 2)
+    lo = jnp.take(tot_t, idx, axis=1)
+    hi = jnp.take(tot_t, idx + 1, axis=1)
+    return lo + frac[None] * (hi - lo)
+
+
 def planck_sources_lanes(pfrac, *, totplnk, totplnk_delta,
                          temp_ref_min, gpt2band,
                          tlay, tlev, tsfc, top_at_1: bool):

@@ -21,7 +21,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lw_noscat_broadband_lanes", "sw_two_stream_broadband_lanes"]
+__all__ = ["lw_noscat_broadband_lanes", "lw_noscat_broadband_lanes_pfrac",
+           "sw_two_stream_broadband_lanes"]
 
 _BG = 8      # g-point rows per block (sublanes)
 _BC = 128    # columns per block (lanes)
@@ -203,6 +204,139 @@ def lw_noscat_broadband_lanes(tau, lay_source, lev_source, sfc_emis, sfc_src,
 
 
 # ---------------------------------------------------------------------------
+# LW no-scattering mega-kernel: sources computed in-kernel from the Planck
+# fraction and per-band Planck values — the (ngpt, nlay(+1), ncol)
+# lay_source/lev_source fields never touch HBM (reference
+# compute_Planck_source :568-710 fused with the solve).
+# ---------------------------------------------------------------------------
+
+def _lw_pfrac_kernel(dsw_ref, tau_ref, pf_ref, pbl_ref, pbv_ref, pbs_ref,
+                     emis_ref, inc_ref,
+                     up_ref, dn_ref,
+                     trans_s, sdn_s, sup_s, rdn_s, rup_s, *, nlay):
+    gb = pl.program_id(1)
+    dtype = tau_ref.dtype
+    eps = np.finfo(np.float32).eps
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
+    ds = dsw_ref[0]
+    piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
+
+    tl = tau_ref[:, :, :] * ds
+    trans = jnp.exp(-tl)
+    trans_s[:, :, :] = trans
+
+    # Planck sources from pfrac (geometric-mean interior levels,
+    # reference :695-706) and the block band's Planck values
+    pf = pf_ref[:, :, :]
+    pb_lay = pbl_ref[0, :, :][None, :, :]
+    pb_lev = pbv_ref[0, :, :][None, :, :]
+    lay = pf * pb_lay
+    pf_in = jnp.sqrt(pf[:, 1:, :] * pf[:, :-1, :])
+    lev_top = jnp.concatenate([pf[:, :1, :], pf_in], axis=1) \
+        * pb_lev[:, :-1, :]
+    lev_bot = jnp.concatenate([pf_in, pf[:, -1:, :]], axis=1) \
+        * pb_lev[:, 1:, :]
+
+    # Clough et al. 1992 linear-in-tau source (reference :620-675)
+    fact_big = (1.0 - trans) / jnp.maximum(tl, tiny) - trans
+    fact_small = tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125))
+    fact = jnp.where(tl > tau_thresh, fact_big, fact_small)
+    sdn_s[:, :, :] = (1.0 - trans) * lev_bot + 2.0 * fact * (lay - lev_bot)
+    sup_s[:, :, :] = (1.0 - trans) * lev_top + 2.0 * fact * (lay - lev_top)
+
+    # downward transport
+    rdn_s[:, 0, :] = inc_ref[:, :] / piw
+
+    def down(l, _):
+        rdn_s[:, l + 1, :] = (trans_s[:, l, :] * rdn_s[:, l, :]
+                              + sdn_s[:, l, :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, down, 0)
+
+    # surface reflection + emission: sfc_src = pfrac(sfc) * B(tsfc)
+    emis = emis_ref[:, :]
+    sfc_src = pf[:, nlay - 1, :] * pbs_ref[0, 0, :][None, :]
+    rup_s[:, nlay, :] = (rdn_s[:, nlay, :] * (1.0 - emis) + emis * sfc_src)
+
+    def up(i, _):
+        v = nlay - 1 - i
+        rup_s[:, v, :] = (trans_s[:, v, :] * rup_s[:, v + 1, :]
+                          + sup_s[:, v, :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, up, 0)
+
+    bb_up = piw * jnp.sum(rup_s[:, :, :], axis=0)
+    bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=0)
+
+    @pl.when(gb == 0)
+    def _():
+        up_ref[:, :] = bb_up
+        dn_ref[:, :] = bb_dn
+
+    @pl.when(gb != 0)
+    def _():
+        up_ref[:, :] += bb_up
+        dn_ref[:, :] += bb_dn
+
+
+def lw_noscat_broadband_lanes_pfrac(tau, pfrac, pb_lay, pb_lev, pb_sfc,
+                                    sfc_emis, inc_flux, *, ds, weight,
+                                    band_width: int,
+                                    interpret: bool = False):
+    """Broadband single-angle LW fluxes with in-kernel Planck sources.
+
+    tau/pfrac (ngpt, nlay, ncol); pb_lay (nbnd, nlay, ncol); pb_lev
+    (nbnd, nlay+1, ncol); pb_sfc (nbnd, ncol); sfc_emis/inc_flux
+    (ngpt, ncol). Requires uniform band width divisible by the 8-row
+    g-point block (ngpt % band_width == 0); the caller falls back to
+    the materialized-sources kernel otherwise. Returns (flux_up,
+    flux_dn), each (nlay+1, ncol), top at index 0.
+    """
+    ngpt, nlay, ncol = tau.shape
+    dtype = tau.dtype
+    assert band_width % _BG == 0 and ngpt % band_width == 0
+    pc = (-ncol) % _BC
+    pad3 = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pc)))
+    pad2 = lambda x: jnp.pad(x, ((0, 0), (0, pc)))
+    dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
+                     jnp.asarray(weight, dtype).reshape(())])
+    ncol_p = ncol + pc
+    nlev = nlay + 1
+    bpg = band_width // _BG     # g-point blocks per band
+
+    kern = functools.partial(_lw_pfrac_kernel, nlay=nlay)
+    v3 = pl.BlockSpec((_BG, nlay, _BC), lambda c, b: (b, 0, c),
+                      memory_space=pltpu.VMEM)
+    vband = lambda nl: pl.BlockSpec((1, nl, _BC),
+                                    lambda c, b: (b // bpg, 0, c),
+                                    memory_space=pltpu.VMEM)
+    vbs = pl.BlockSpec((1, 1, _BC), lambda c, b: (b // bpg, 0, c),
+                      memory_space=pltpu.VMEM)
+    v2 = pl.BlockSpec((_BG, _BC), lambda c, b: (b, c),
+                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
+                       memory_space=pltpu.VMEM)
+    scratch3 = lambda nl: pltpu.VMEM((_BG, nl, _BC), dtype)
+
+    up, dn = pl.pallas_call(
+        kern,
+        grid=(ncol_p // _BC, ngpt // _BG),
+        in_specs=[smem, v3, v3, vband(nlay), vband(nlev), vbs, v2, v2],
+        out_specs=[obb, obb],
+        out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 2,
+        scratch_shapes=[scratch3(nlay), scratch3(nlay), scratch3(nlay),
+                        scratch3(nlev), scratch3(nlev)],
+        interpret=interpret,
+    )(dsw, pad3(tau), pad3(pfrac), pad3(pb_lay), pad3(pb_lev),
+      pad2(pb_sfc)[:, None, :], pad2(sfc_emis), pad2(inc_flux))
+    return up[:, :ncol], dn[:, :ncol]
+
+
+# ---------------------------------------------------------------------------
 # SW two-stream + adding (broadband)
 # ---------------------------------------------------------------------------
 
@@ -211,15 +345,25 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
                up_ref, dn_ref, dir_ref,
                dirlev, sdn_s, sup_s, rdif_s, tdif_s,
                alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay):
+    t = tau_ref[:, :, :]
+    w0 = ssa_ref[:, :, :]
+    asym = g_ref[:, :, :]
+    _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
+             incdif_ref, up_ref, dn_ref, dir_ref,
+             dirlev, sdn_s, sup_s, rdif_s, tdif_s,
+             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
+
+
+def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
+             incdif_ref, up_ref, dn_ref, dir_ref,
+             dirlev, sdn_s, sup_s, rdif_s, tdif_s,
+             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay):
     gb = pl.program_id(1)
-    dtype = tau_ref.dtype
+    dtype = t.dtype
     eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
     min_k = jnp.asarray(1.0e4 * np.finfo(np.float32).eps, dtype)
     min_mu0 = jnp.asarray(np.sqrt(np.finfo(np.float32).eps), dtype)
 
-    t = tau_ref[:, :, :]
-    w0 = ssa_ref[:, :, :]
-    asym = g_ref[:, :, :]
     mu0 = mu0_ref[:, :][None, :, :]                      # (1, nlay, BC)
     mu0_s = jnp.maximum(min_mu0, mu0)
 
@@ -366,4 +510,103 @@ def sw_two_stream_broadband_lanes(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         interpret=interpret,
     )(pad3(tau), pad3(ssa), pad3(g), mu0_p, pad2(sfc_alb_dir),
       pad2(sfc_alb_dif), pad2(inc_flux_dir), pad2(incdif))
+    return up[:, :ncol], dn[:, :ncol], fdir[:, :ncol]
+
+
+# ---------------------------------------------------------------------------
+# SW mega-kernel: combine_abs_and_rayleigh (reference :1954-2036) and the
+# by-band delta-scaled cloud increment (increment_2stream_by_2stream,
+# optical-props kernels :199-226) fused into the two-stream solve — the
+# combined (tau, ssa, g) fields never touch HBM.
+# ---------------------------------------------------------------------------
+
+def _sw_mega_kernel(taua_ref, ray_ref, ct_ref, cs_ref, cg_ref,
+                    mu0_ref, albdir_ref, albdif_ref, inc_ref, incdif_ref,
+                    up_ref, dn_ref, dir_ref,
+                    dirlev, sdn_s, sup_s, rdif_s, tdif_s,
+                    alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *,
+                    nlay, with_cloud):
+    dtype = taua_ref.dtype
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    ray = ray_ref[:, :, :]
+    t_gas = taua_ref[:, :, :] + ray
+    big = t_gas > 2.0 * tiny
+    ssa_gas = jnp.where(big, ray / jnp.where(big, t_gas, 1.0), 0.0)
+    if with_cloud:
+        o_tau = ct_ref[0, :, :][None, :, :]
+        o_ssa = cs_ref[0, :, :][None, :, :]
+        o_g = cg_ref[0, :, :][None, :, :]
+        t = t_gas + o_tau
+        tauscat = t_gas * ssa_gas + o_tau * o_ssa
+        g12 = (o_tau * o_ssa * o_g) / jnp.maximum(tauscat, tiny)
+        ssa12 = tauscat / jnp.maximum(t, tiny)
+        asym = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)
+        w0 = jnp.where(t > 2.0 * tiny, ssa12, ssa_gas)
+    else:
+        t, w0, asym = t_gas, ssa_gas, jnp.zeros_like(t_gas)
+    _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
+             incdif_ref, up_ref, dn_ref, dir_ref,
+             dirlev, sdn_s, sup_s, rdif_s, tdif_s,
+             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
+
+
+def sw_two_stream_broadband_lanes_combined(
+        tau_abs, tau_ray, cloud, mu0, sfc_alb_dir, sfc_alb_dif,
+        inc_flux_dir, inc_flux_dif=None, *, band_width: int,
+        interpret: bool = False):
+    """Broadband SW two-stream fluxes with in-kernel Rayleigh combine and
+    by-band cloud increment.
+
+    tau_abs/tau_ray (ngpt, nlay, ncol); cloud = (tau, ssa, g) by band,
+    each (nbnd, nlay, ncol) already delta-scaled, or None; mu0 (nlay,
+    ncol); boundary fields (ngpt, ncol). Requires uniform band width
+    divisible by 8 and ngpt % band_width == 0.
+    """
+    ngpt, nlay, ncol = tau_abs.shape
+    dtype = tau_abs.dtype
+    assert band_width % _BG == 0 and ngpt % band_width == 0
+    pc = (-ncol) % _BC
+    pad3 = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pc)))
+    pad2 = lambda x: jnp.pad(x, ((0, 0), (0, pc)))
+    mu0_p = jnp.pad(mu0, ((0, 0), (0, pc)), mode="edge")
+    incdif = (inc_flux_dif if inc_flux_dif is not None
+              else jnp.zeros_like(inc_flux_dir))
+    ncol_p = ncol + pc
+    nlev = nlay + 1
+    bpg = band_width // _BG
+    with_cloud = cloud is not None
+    if not with_cloud:
+        # dummy band arrays (never read in-kernel)
+        z = jnp.zeros((1, nlay, ncol_p), dtype)
+        cloud = (z, z, z)
+
+    kern = functools.partial(_sw_mega_kernel, nlay=nlay,
+                             with_cloud=with_cloud)
+    v3 = pl.BlockSpec((_BG, nlay, _BC), lambda c, b: (b, 0, c),
+                      memory_space=pltpu.VMEM)
+    vband = pl.BlockSpec((1, nlay, _BC),
+                         lambda c, b: ((b // bpg) if with_cloud else 0, 0, c),
+                         memory_space=pltpu.VMEM)
+    v2 = pl.BlockSpec((_BG, _BC), lambda c, b: (b, c),
+                      memory_space=pltpu.VMEM)
+    vmu = pl.BlockSpec((nlay, _BC), lambda c, b: (0, c),
+                       memory_space=pltpu.VMEM)
+    obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
+                       memory_space=pltpu.VMEM)
+    scratch3 = lambda nl: pltpu.VMEM((_BG, nl, _BC), dtype)
+
+    up, dn, fdir = pl.pallas_call(
+        kern,
+        grid=(ncol_p // _BC, ngpt // _BG),
+        in_specs=[v3, v3, vband, vband, vband, vmu, v2, v2, v2, v2],
+        out_specs=[obb, obb, obb],
+        out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 3,
+        scratch_shapes=[scratch3(nlev), scratch3(nlay), scratch3(nlay),
+                        scratch3(nlay), scratch3(nlay),
+                        scratch3(nlev), scratch3(nlev), scratch3(nlay),
+                        scratch3(nlev), scratch3(nlev), scratch3(nlay)],
+        interpret=interpret,
+    )(pad3(tau_abs), pad3(tau_ray), pad3(cloud[0]), pad3(cloud[1]),
+      pad3(cloud[2]), mu0_p, pad2(sfc_alb_dir), pad2(sfc_alb_dif),
+      pad2(inc_flux_dir), pad2(incdif))
     return up[:, :ncol], dn[:, :ncol], fdir[:, :ncol]
