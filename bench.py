@@ -24,6 +24,7 @@ def main():
     ncol = int(os.environ.get("BENCH_NCOL", "4096"))
     nlay = int(os.environ.get("BENCH_NLAY", "72"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
+    inner = int(os.environ.get("BENCH_INNER", "4"))
 
     from __graft_entry__ import _build
 
@@ -31,14 +32,27 @@ def main():
                           ngpt_sw=224, nbnd_sw=14, ntemp=14, npres=59)
     step_jit = jax.jit(step)
 
-    # warmup / compile
-    out = jax.block_until_ready(step_jit(inputs))
+    def force(out):
+        # one readback forces the serial device queue to drain (through
+        # the axon tunnel block_until_ready can return early)
+        import numpy as np
+        np.asarray(jax.device_get(out[0].ravel()[-1:]))
 
+    # warmup / compile
+    out = step_jit(inputs)
+    force(out)
+
+    # steady-state throughput: chain `inner` steps per timing window so
+    # host dispatch overlaps device execution (the production regime —
+    # the reference benchmark also times a loop of steps,
+    # examples/all-sky/rrtmgp_allsky.F90:329-419)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(step_jit(inputs))
-        times.append(time.perf_counter() - t0)
+        for _ in range(inner):
+            out = step_jit(inputs)
+        force(out)
+        times.append((time.perf_counter() - t0) / inner)
     t_min = min(times)
     cols_per_s = ncol / t_min
 

@@ -146,6 +146,7 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
     else:
         tau, (sfc_src, lay_src, lev_src, _jac) = out
     interpret = jax.default_backend() in ("cpu", "gpu")
+    cld_abs = None
     if use_clouds and cloud_optics is not None:
         cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
                                               inputs.rel, inputs.dei,
@@ -154,9 +155,12 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
             return None
         ct, cts, _ = cld
         # absorption-only increment: tau += (tau - tau*ssa) by band
-        # (increment_1scalar_by_2stream + _bybnd expansion)
-        tau = tau + _expand_bands(ct - cts,
-                                  gas_optics.grid.band_lims_gpt_array)
+        # (increment_1scalar_by_2stream + _bybnd expansion); the banded
+        # mega-kernel adds it in-kernel instead
+        cld_abs = ct - cts
+        if not banded:
+            tau = tau + _expand_bands(cld_abs,
+                                      gas_optics.grid.band_lims_gpt_array)
     ngpt, _, ncol = tau.shape
     emis = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :], (ngpt, ncol))
     inc = jnp.zeros((ngpt, ncol), tau.dtype)
@@ -164,7 +168,7 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
         up, dn = lw_noscat_broadband_lanes_pfrac(
             tau, pfrac, pb_lay, pb_lev, pb_sfc, emis, inc,
             ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0], band_width=w0,
-            interpret=interpret)
+            cloud_tau_abs=cld_abs, interpret=interpret)
     else:
         up, dn, _ = lw_noscat_broadband_lanes(
             tau, lay_src, lev_src, emis, sfc_src, inc,

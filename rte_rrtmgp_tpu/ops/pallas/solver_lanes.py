@@ -210,10 +210,11 @@ def lw_noscat_broadband_lanes(tau, lay_source, lev_source, sfc_emis, sfc_src,
 # compute_Planck_source :568-710 fused with the solve).
 # ---------------------------------------------------------------------------
 
-def _lw_pfrac_kernel(dsw_ref, tau_ref, pf_ref, pbl_ref, pbv_ref, pbs_ref,
-                     emis_ref, inc_ref,
+def _lw_pfrac_kernel(dsw_ref, tau_ref, cld_ref, pf_ref, pbl_ref, pbv_ref,
+                     pbs_ref, emis_ref, inc_ref,
                      up_ref, dn_ref,
-                     trans_s, sdn_s, sup_s, rdn_s, rup_s, *, nlay):
+                     trans_s, sdn_s, sup_s, rdn_s, rup_s, *,
+                     nlay, with_cloud):
     gb = pl.program_id(1)
     dtype = tau_ref.dtype
     eps = np.finfo(np.float32).eps
@@ -222,7 +223,12 @@ def _lw_pfrac_kernel(dsw_ref, tau_ref, pf_ref, pbl_ref, pbv_ref, pbs_ref,
     ds = dsw_ref[0]
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
 
-    tl = tau_ref[:, :, :] * ds
+    tau = tau_ref[:, :, :]
+    if with_cloud:
+        # by-band absorption-only cloud increment
+        # (increment_1scalar_by_2stream + _bybnd expansion, in-kernel)
+        tau = tau + cld_ref[0, :, :][None, :, :]
+    tl = tau * ds
     trans = jnp.exp(-tl)
     trans_s[:, :, :] = trans
 
@@ -284,7 +290,7 @@ def _lw_pfrac_kernel(dsw_ref, tau_ref, pf_ref, pbl_ref, pbv_ref, pbs_ref,
 
 def lw_noscat_broadband_lanes_pfrac(tau, pfrac, pb_lay, pb_lev, pb_sfc,
                                     sfc_emis, inc_flux, *, ds, weight,
-                                    band_width: int,
+                                    band_width: int, cloud_tau_abs=None,
                                     interpret: bool = False):
     """Broadband single-angle LW fluxes with in-kernel Planck sources.
 
@@ -306,13 +312,20 @@ def lw_noscat_broadband_lanes_pfrac(tau, pfrac, pb_lay, pb_lev, pb_sfc,
     ncol_p = ncol + pc
     nlev = nlay + 1
     bpg = band_width // _BG     # g-point blocks per band
+    with_cloud = cloud_tau_abs is not None
+    cld = (cloud_tau_abs if with_cloud
+           else jnp.zeros((1, nlay, ncol), dtype))
 
-    kern = functools.partial(_lw_pfrac_kernel, nlay=nlay)
+    kern = functools.partial(_lw_pfrac_kernel, nlay=nlay,
+                             with_cloud=with_cloud)
     v3 = pl.BlockSpec((_BG, nlay, _BC), lambda c, b: (b, 0, c),
                       memory_space=pltpu.VMEM)
     vband = lambda nl: pl.BlockSpec((1, nl, _BC),
                                     lambda c, b: (b // bpg, 0, c),
                                     memory_space=pltpu.VMEM)
+    vcld = pl.BlockSpec((1, nlay, _BC),
+                        lambda c, b: ((b // bpg) if with_cloud else 0, 0, c),
+                        memory_space=pltpu.VMEM)
     vbs = pl.BlockSpec((1, 1, _BC), lambda c, b: (b // bpg, 0, c),
                       memory_space=pltpu.VMEM)
     v2 = pl.BlockSpec((_BG, _BC), lambda c, b: (b, c),
@@ -325,13 +338,14 @@ def lw_noscat_broadband_lanes_pfrac(tau, pfrac, pb_lay, pb_lev, pb_sfc,
     up, dn = pl.pallas_call(
         kern,
         grid=(ncol_p // _BC, ngpt // _BG),
-        in_specs=[smem, v3, v3, vband(nlay), vband(nlev), vbs, v2, v2],
+        in_specs=[smem, v3, vcld, v3, vband(nlay), vband(nlev), vbs,
+                  v2, v2],
         out_specs=[obb, obb],
         out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 2,
         scratch_shapes=[scratch3(nlay), scratch3(nlay), scratch3(nlay),
                         scratch3(nlev), scratch3(nlev)],
         interpret=interpret,
-    )(dsw, pad3(tau), pad3(pfrac), pad3(pb_lay), pad3(pb_lev),
+    )(dsw, pad3(tau), pad3(cld), pad3(pfrac), pad3(pb_lay), pad3(pb_lev),
       pad2(pb_sfc)[:, None, :], pad2(sfc_emis), pad2(inc_flux))
     return up[:, :ncol], dn[:, :ncol]
 
