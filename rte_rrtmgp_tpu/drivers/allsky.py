@@ -136,6 +136,30 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
     w0 = int(widths[0])
     banded = bool((widths == w0).all() and w0 % 8 == 0)
 
+    interpret0 = jax.default_backend() in ("cpu", "gpu")
+    if banded and hasattr(gas_optics, "lw_fused_solve"):
+        # grand fused path: gas optics + cloud increment + solve in one
+        # kernel; spectral fields never touch HBM
+        cld_abs0 = None
+        if use_clouds and cloud_optics is not None:
+            cld0 = cloud_optics.cloud_optics_lanes(
+                inputs.lwp, inputs.iwp, inputs.rel, inputs.dei,
+                interpret=interpret0)
+            if cld0 is None:
+                return None
+            cld_abs0 = cld0[0] - cld0[1]
+        ncol0 = inputs.play.shape[0]
+        emis0 = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :],
+                                 (gas_optics.ngpt, ncol0))
+        from ..ops.solver_lw import GAUSS_DS as _DS, GAUSS_WTS as _WT
+        fused0 = gas_optics.lw_fused_solve(
+            inputs.play, inputs.plev, inputs.tlay, inputs.tsfc,
+            inputs.gas_concs, sfc_emis=emis0, tlev=inputs.tlev,
+            cloud_tau_abs=cld_abs0, ds=_DS[0][0], weight=_WT[0][0])
+        if fused0 is not None:
+            up0, dn0 = fused0[0].T, fused0[1].T
+            return Fluxes(flux_up=up0, flux_dn=dn0, flux_net=dn0 - up0)
+
     out = gas_optics.gas_optics_lw_lanes(
         inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
         tlev=inputs.tlev, banded_planck=banded)

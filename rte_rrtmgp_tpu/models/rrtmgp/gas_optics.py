@@ -377,6 +377,62 @@ class GasOpticsRRTMGP:
         toa = jnp.broadcast_to(kd.solar_source[:, None], (kd.ngpt, ncol))
         return tau, ssa, toa
 
+    def lw_fused_solve(self, play, plev, tlay, tsfc, gas_concs: GasConcs,
+                       *, sfc_emis, inc_flux=None, tlev=None, col_dry=None,
+                       cloud_tau_abs=None, ds, weight):
+        """The grand fused LW path: gas optics AND the no-scattering
+        transport solve in one Pallas kernel (ops/pallas/fused_lw.py) —
+        the spectral tau/pfrac/source fields never touch HBM.
+
+        sfc_emis/inc_flux: (ngpt, ncol) lane layout; cloud_tau_abs:
+        optional (nbnd, nlay, ncol) by-band absorption optical depth.
+        Returns (flux_up, flux_dn) each (nlay+1, ncol) top-at-0, or None
+        when ineligible (caller falls back to the staged lane path)."""
+        from ...ops.gas_optics_pallas import lw_fused_lanes
+        from ...ops.pallas.major_gather import PSPAN
+
+        if not self.source_is_internal():
+            raise ValueError("rrtmgp gas optics: k-distribution is SW")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        plev = jnp.asarray(plev)
+        tlay = jnp.asarray(tlay)
+        tsfc = jnp.asarray(tsfc, play.dtype)
+
+        import jax as _jax
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        cfg_pallas = get_config().use_pallas
+        use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
+                      and (on_tpu if cfg_pallas is None else cfg_pallas))
+        if not use_pallas or kd.kmajor_lane is None:
+            return None
+        if not isinstance(play, jax.core.Tracer):
+            if not pressure_window_ok_from_play(
+                    play, press_ref_log=kd.press_ref_log,
+                    press_ref_log_delta=kd.press_ref_log_delta,
+                    press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):
+                return None
+
+        self._check_key_species_present(gas_concs)
+        col_gas, _, idx_h2o = self._col_gas(play, plev, tlay, gas_concs,
+                                            col_dry)
+        play_c, tlay_c = play.T, tlay.T
+        col_gas_c = jnp.swapaxes(col_gas, 1, 2)
+        coeffs = self._interp(play_c, tlay_c, col_gas_c)
+        tlev_w = (jnp.asarray(tlev) if tlev is not None
+                  else self.interp_tlev(tlay, play, plev))
+        pb = lambda t: planck_bands_lanes(
+            t, totplnk=kd.totplnk, totplnk_delta=kd.totplnk_delta,
+            temp_ref_min=kd.temp_ref_min)
+        ngpt, ncol = kd.ngpt, play.shape[0]
+        inc = (inc_flux if inc_flux is not None
+               else jnp.zeros((ngpt, ncol), play.dtype))
+        return lw_fused_lanes(
+            coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
+            idx_h2o=idx_h2o, pb_lay=pb(tlay.T), pb_lev=pb(tlev_w.T),
+            pb_sfc=pb(tsfc), emis=sfc_emis, inc=inc, ds=ds, weight=weight,
+            cloud_tau_abs=cloud_tau_abs, interpret=not on_tpu)
+
     # ------------------------------------------------------------------
     def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:
         """Per-(col, gpt) optimal LW secants from total-column transmittance

@@ -284,3 +284,145 @@ def tau_major_pallas(coeffs: InterpCoeffs, table_lane, *, neta: int,
     tau = unflatten(per_band[:, 0])
     pfrac = unflatten(per_band[:, 1]) if ntab == 2 else None
     return tau, pfrac
+
+
+# ---------------------------------------------------------------------------
+# the grand fused LW path: descriptors for ops/pallas/fused_lw.py
+# ---------------------------------------------------------------------------
+
+def _minor_scaling_rows(coeffs, mset, *, lower, play, tlay, col_gas,
+                        idx_h2o, dtype):
+    """Per-minor-gas scaling rows with the atmosphere mask applied
+    (reference gas_optical_depths_minor :461-480). Cell arrays 2-D."""
+    mask = coeffs.tropo if lower else jnp.logical_not(coeffs.tropo)
+    maskf = mask.astype(dtype)
+    inv_col_dry = 1.0 / col_gas[0]
+    dry_fact = 1.0 / (1.0 + col_gas[idx_h2o] * inv_col_dry)
+    rows = []
+    for m in range(len(mset.kminor_start)):
+        scaling = col_gas[int(mset.idx_minor[m])]
+        if mset.scales_with_density[m]:
+            scaling = scaling * (0.01 * play / tlay)
+            isc = int(mset.idx_minor_scaling[m])
+            if isc > 0:
+                frac = col_gas[isc] * inv_col_dry * dry_fact
+                scaling = scaling * ((1.0 - frac)
+                                     if mset.scale_by_complement[m] else frac)
+        rows.append(scaling * maskf)
+    return rows
+
+
+def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
+                   pb_lay, pb_lev, pb_sfc, emis, inc, ds, weight,
+                   cloud_tau_abs=None, interpret: bool = False):
+    """Build descriptors and run the grand fused LW gas-optics + solve
+    kernel (ops/pallas/fused_lw.py). All cell inputs are layer-major
+    (nlay, ncol); pb_* by band; emis/inc (ngpt, ncol).
+
+    Returns (flux_up, flux_dn) each (nlay+1, ncol), or None when the
+    configuration is ineligible."""
+    from .pallas.fused_lw import lw_fused_gas_optics_solve
+
+    gflav = np.asarray(kd.gpoint_flavor)
+    bands = np.asarray(kd.grid.band_lims_gpt_array)
+    nbnd = bands.shape[0]
+    widths = bands[:, 1] - bands[:, 0] + 1
+    w = int(widths[0])
+    if not (widths == w).all() or kd.kmajor_lane is None \
+            or kd.kmajor_lane_ntab != 2 \
+            or kd.kminor_lower_lane is None or kd.kminor_upper_lane is None:
+        return None
+    nlay, ncol = coeffs.jtemp.shape
+    dtype = coeffs.ftemp.dtype
+    neta = kd.neta
+
+    # major descriptors: (nbnd, 8, nlay, ncol) rows
+    # [te0, te1, fe0, fe1, cm0, cm1, ft0, ft1]
+    ft = (1.0 - coeffs.ftemp, coeffs.ftemp)
+    bd_bands = []
+    for b in range(nbnd):
+        g0 = int(bands[b, 0]) - 1
+        flo, fhi = int(gflav[0, g0]), int(gflav[1, g0])
+        rows = []
+        for field in ("te", "fe", "cm"):
+            for it in range(2):
+                if field == "te":
+                    v_lo = (coeffs.jtemp + it) * neta + coeffs.jeta[it, flo]
+                    v_hi = (coeffs.jtemp + it) * neta + coeffs.jeta[it, fhi]
+                elif field == "fe":
+                    v_lo, v_hi = coeffs.feta[it, flo], coeffs.feta[it, fhi]
+                else:
+                    v_lo, v_hi = (coeffs.col_mix[it, flo],
+                                  coeffs.col_mix[it, fhi])
+                v = (v_lo if flo == fhi
+                     else jnp.where(coeffs.tropo, v_lo, v_hi))
+                rows.append(v.astype(dtype))
+        rows.extend([ft[0], ft[1]])
+        bd_bands.append(jnp.stack(rows, 0))
+    bd = jnp.stack(bd_bands, 0)
+
+    jp = (coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)).astype(dtype)
+    fpjp = jnp.stack([coeffs.fpress, jp], 0)
+
+    # minor descriptors: lower groups then upper groups
+    netam1 = neta - 1
+    mi_rows, mfm_rows, msc_rows = [], [], []
+    entries = []      # (lower, gi_global, mg_global, g0_window, wm, start)
+    gi_base = 0
+    mg_base = 0
+    for lower, mset in ((True, kd.minor_lower), (False, kd.minor_upper)):
+        fgroups = _flavor_groups(mset.flavor)
+        flavs = sorted(fgroups)
+        for gi, f in enumerate(flavs):
+            for it in range(2):
+                mi_rows.append(((coeffs.jtemp + it) * netam1
+                                + coeffs.jeta[it, f]).astype(dtype))
+                mfm_rows.append(coeffs.fminor[it, 0, f])
+                mfm_rows.append(coeffs.fminor[it, 1, f])
+            for m in fgroups[f]:
+                entries.append((lower, gi_base + gi, mg_base + m,
+                                int(mset.limits_gpt[m][0]),
+                                int(mset.limits_gpt[m][1])
+                                - int(mset.limits_gpt[m][0]) + 1,
+                                int(mset.kminor_start[m])))
+        msc_rows.extend(_minor_scaling_rows(
+            coeffs, mset, lower=lower, play=play_c, tlay=tlay_c,
+            col_gas=col_gas_c, idx_h2o=idx_h2o, dtype=dtype))
+        gi_base += len(flavs)
+        mg_base += len(mset.kminor_start)
+
+    zrow = jnp.zeros((nlay, ncol), dtype)
+    mi = jnp.stack(mi_rows or [zrow], 0)
+    mfm = jnp.stack(mfm_rows or [zrow], 0)
+    msc = jnp.stack(msc_rows or [zrow], 0)
+
+    # clip minor windows to each band (static)
+    band_minors = []
+    for b in range(nbnd):
+        b0 = int(bands[b, 0]) - 1
+        b1 = b0 + w
+        members = []
+        for (lower, gi, mg, g0m, wm, start) in entries:
+            i0, i1 = max(g0m, b0), min(g0m + wm, b1)
+            if i1 > i0:
+                members.append((lower, gi, mg, start + (i0 - g0m),
+                                i0 - b0, i1 - i0))
+        band_minors.append(tuple(members))
+
+    mtab_lo = kd.kminor_lower_lane
+    mtab_up = kd.kminor_upper_lane
+    if mtab_lo is None or mtab_lo.shape[0] == 0:
+        mtab_lo = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    if mtab_up is None or mtab_up.shape[0] == 0:
+        mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+
+    return lw_fused_gas_optics_solve(
+        bd, fpjp, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+        pb_lay, pb_lev, pb_sfc[:, None, :],
+        emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
+        ds=ds, weight=weight, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
+        band_minors=tuple(band_minors), cloud_tau_abs=cloud_tau_abs,
+        interpret=interpret)
+
+
+LANE_ROWS_MAX_F = 128
