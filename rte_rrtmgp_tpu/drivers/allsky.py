@@ -215,15 +215,51 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
     w0 = int(widths[0])
     banded = bool((widths == w0).all() and w0 % 8 == 0)
 
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    dtype = inputs.play.dtype
+    tiny = jnp.finfo(dtype).tiny
+    if banded and hasattr(gas_optics, "sw_fused_solve"):
+        # grand fused path: gas optics + Rayleigh + cloud increment +
+        # two-stream solve in one kernel
+        cld_b = None
+        if use_clouds and cloud_optics is not None:
+            cld0 = cloud_optics.cloud_optics_lanes(
+                inputs.lwp, inputs.iwp, inputs.rel, inputs.dei,
+                interpret=interpret)
+            if cld0 is None:
+                return None
+            ct, cts, ctsg = cld0
+            eps = jnp.finfo(dtype).eps
+            cg = ctsg / jnp.maximum(eps, cts)
+            cssa = cts / jnp.maximum(eps, ct)
+            one = jnp.asarray(1.0, dtype)
+            f = cg * cg
+            wf = cssa * f
+            cld_b = ((one - wf) * ct,
+                     jnp.where(wf < one, (cssa - wf)
+                               / jnp.maximum(one - wf, tiny), 0.0),
+                     jnp.where(f < one, (cg - f)
+                               / jnp.maximum(one - f, tiny), 0.0))
+        ncol0 = inputs.play.shape[0]
+        nlay0 = inputs.play.shape[1]
+        mu0_0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
+                                 (nlay0, ncol0))
+        alb0 = jnp.broadcast_to(inputs.sfc_alb[:, 0][None, :],
+                                (gas_optics.ngpt, ncol0))
+        fused0 = gas_optics.sw_fused_solve(
+            inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs,
+            mu0=mu0_0, sfc_alb_dir=alb0, sfc_alb_dif=alb0, cloud=cld_b)
+        if fused0 is not None:
+            up0, dn0, dir0 = fused0[0].T, fused0[1].T, fused0[2].T
+            return Fluxes(flux_up=up0, flux_dn=dn0, flux_net=dn0 - up0,
+                          flux_dn_dir=dir0)
+
     out = gas_optics.gas_optics_sw_lanes(
         inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs,
         split_rayleigh=banded)
     if out is None:
         return None
     tau, ssa_or_ray, toa = out
-    dtype = tau.dtype
-    tiny = jnp.finfo(dtype).tiny
-    interpret = jax.default_backend() in ("cpu", "gpu")
     cld_banded = None
     if use_clouds and cloud_optics is not None:
         cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,

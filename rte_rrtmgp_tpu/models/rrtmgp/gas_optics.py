@@ -433,6 +433,58 @@ class GasOpticsRRTMGP:
             pb_sfc=pb(tsfc), emis=sfc_emis, inc=inc, ds=ds, weight=weight,
             cloud_tau_abs=cloud_tau_abs, interpret=not on_tpu)
 
+    def sw_fused_solve(self, play, plev, tlay, gas_concs: GasConcs, *,
+                       mu0, sfc_alb_dir, sfc_alb_dif, inc_flux=None,
+                       inc_flux_dif=None, col_dry=None, cloud=None):
+        """The grand fused SW path: gas optics (major + minors +
+        Rayleigh), cloud increment, and the two-stream solve in one
+        Pallas kernel (ops/pallas/fused_sw.py).
+
+        mu0 (nlay, ncol); sfc_alb_*/inc_flux (ngpt, ncol) lane layout
+        (inc_flux defaults to the solar source); cloud: optional by-band
+        delta-scaled (tau, ssa, g), each (nbnd, nlay, ncol). Returns
+        (flux_up, flux_dn, flux_dir) each (nlay+1, ncol) top-at-0, or
+        None when ineligible."""
+        from ...ops.gas_optics_pallas import sw_fused_lanes
+        from ...ops.pallas.major_gather import PSPAN
+
+        if not self.source_is_external():
+            raise ValueError("rrtmgp gas optics: k-distribution is LW")
+        kd = self.kdist
+        play = jnp.asarray(play)
+        plev = jnp.asarray(plev)
+        tlay = jnp.asarray(tlay)
+
+        import jax as _jax
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        cfg_pallas = get_config().use_pallas
+        use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
+                      and (on_tpu if cfg_pallas is None else cfg_pallas))
+        if not use_pallas or kd.kmajor_lane is None:
+            return None
+        if not isinstance(play, jax.core.Tracer):
+            if not pressure_window_ok_from_play(
+                    play, press_ref_log=kd.press_ref_log,
+                    press_ref_log_delta=kd.press_ref_log_delta,
+                    press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):
+                return None
+
+        self._check_key_species_present(gas_concs)
+        col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
+                                                    gas_concs, col_dry)
+        play_c, tlay_c = play.T, tlay.T
+        col_gas_c = jnp.swapaxes(col_gas, 1, 2)
+        coeffs = self._interp(play_c, tlay_c, col_gas_c)
+        ngpt, ncol = kd.ngpt, play.shape[0]
+        inc = (inc_flux if inc_flux is not None
+               else jnp.broadcast_to(kd.solar_source[:, None], (ngpt, ncol)
+                                     ).astype(play.dtype))
+        return sw_fused_lanes(
+            coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
+            col_dry_c=col_dry_w.T, idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
+            sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
+            incdif=inc_flux_dif, interpret=not on_tpu)
+
     # ------------------------------------------------------------------
     def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:
         """Per-(col, gpt) optimal LW secants from total-column transmittance

@@ -336,33 +336,30 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
     dtype = coeffs.ftemp.dtype
     neta = kd.neta
 
-    # major descriptors: (nbnd, 8, nlay, ncol) rows
-    # [te0, te1, fe0, fe1, cm0, cm1, ft0, ft1]
-    ft = (1.0 - coeffs.ftemp, coeffs.ftemp)
-    bd_bands = []
+    # per-FLAVOR major descriptors, fetched once per column block; the
+    # kernel resolves each band's flavor pair via the SMEM flav table:
+    # rows [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
+    # cm(2*nflav)]
+    nflav = coeffs.jeta.shape[1]
+    jp = (coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)).astype(dtype)
+    rows = [coeffs.fpress, jp, coeffs.tropo.astype(dtype),
+            (1.0 - coeffs.ftemp), coeffs.ftemp]
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(((coeffs.jtemp + it) * neta
+                         + coeffs.jeta[it, f]).astype(dtype))
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(coeffs.feta[it, f])
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(coeffs.col_mix[it, f])
+    desc = jnp.stack(rows, 0)
+    flav_rows = []
     for b in range(nbnd):
         g0 = int(bands[b, 0]) - 1
-        flo, fhi = int(gflav[0, g0]), int(gflav[1, g0])
-        rows = []
-        for field in ("te", "fe", "cm"):
-            for it in range(2):
-                if field == "te":
-                    v_lo = (coeffs.jtemp + it) * neta + coeffs.jeta[it, flo]
-                    v_hi = (coeffs.jtemp + it) * neta + coeffs.jeta[it, fhi]
-                elif field == "fe":
-                    v_lo, v_hi = coeffs.feta[it, flo], coeffs.feta[it, fhi]
-                else:
-                    v_lo, v_hi = (coeffs.col_mix[it, flo],
-                                  coeffs.col_mix[it, fhi])
-                v = (v_lo if flo == fhi
-                     else jnp.where(coeffs.tropo, v_lo, v_hi))
-                rows.append(v.astype(dtype))
-        rows.extend([ft[0], ft[1]])
-        bd_bands.append(jnp.stack(rows, 0))
-    bd = jnp.stack(bd_bands, 0)
-
-    jp = (coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)).astype(dtype)
-    fpjp = jnp.stack([coeffs.fpress, jp], 0)
+        flav_rows.extend([int(gflav[0, g0]), int(gflav[1, g0])])
+    flav = jnp.asarray(flav_rows, jnp.int32)
 
     # minor descriptors: lower groups then upper groups
     netam1 = neta - 1
@@ -417,12 +414,131 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
         mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
 
     return lw_fused_gas_optics_solve(
-        bd, fpjp, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+        flav, desc, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
         pb_lay, pb_lev, pb_sfc[:, None, :],
         emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
         ds=ds, weight=weight, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
-        band_minors=tuple(band_minors), cloud_tau_abs=cloud_tau_abs,
-        interpret=interpret)
+        nflav=nflav, band_minors=tuple(band_minors),
+        cloud_tau_abs=cloud_tau_abs, interpret=interpret)
 
 
 LANE_ROWS_MAX_F = 128
+
+
+def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
+                   idx_h2o, cloud, mu0, sfc_alb_dir, sfc_alb_dif, inc,
+                   incdif=None, interpret: bool = False):
+    """Build descriptors and run the grand fused SW gas-optics + two-stream
+    kernel (ops/pallas/fused_sw.py). Cell inputs layer-major (nlay, ncol);
+    cloud = by-band delta-scaled (tau, ssa, g) or None; mu0 (nlay, ncol);
+    boundary fields (ngpt, ncol). Returns (flux_up, flux_dn, flux_dir)
+    each (nlay+1, ncol), or None when ineligible."""
+    from .pallas.fused_sw import sw_fused_gas_optics_solve
+
+    gflav = np.asarray(kd.gpoint_flavor)
+    bands = np.asarray(kd.grid.band_lims_gpt_array)
+    nbnd = bands.shape[0]
+    widths = bands[:, 1] - bands[:, 0] + 1
+    w = int(widths[0])
+    if not (widths == w).all() or kd.kmajor_lane is None \
+            or kd.kmajor_lane_ntab != 1 \
+            or kd.kminor_lower_lane is None or kd.kminor_upper_lane is None \
+            or kd.krayl_lane is None:
+        return None
+    nlay, ncol = coeffs.jtemp.shape
+    dtype = coeffs.ftemp.dtype
+    neta = kd.neta
+    netam1 = neta - 1
+    ngpt = kd.ngpt
+    nflav = coeffs.jeta.shape[1]
+
+    jp = (coeffs.jpress + jnp.where(coeffs.tropo, 0, 1)).astype(dtype)
+    rayscale = col_gas_c[idx_h2o] + col_dry_c
+    rows = [coeffs.fpress, jp, coeffs.tropo.astype(dtype),
+            (1.0 - coeffs.ftemp), coeffs.ftemp, rayscale]
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(((coeffs.jtemp + it) * neta
+                         + coeffs.jeta[it, f]).astype(dtype))
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(coeffs.feta[it, f])
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(coeffs.col_mix[it, f])
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(((coeffs.jtemp + it) * netam1
+                         + coeffs.jeta[it, f]).astype(dtype))
+    desc = jnp.stack(rows, 0)
+    flav_rows = []
+    for b in range(nbnd):
+        g0 = int(bands[b, 0]) - 1
+        flav_rows.extend([int(gflav[0, g0]), int(gflav[1, g0])])
+    flav = jnp.asarray(flav_rows, jnp.int32)
+
+    # minor descriptors + static per-band clipped windows (as in LW)
+    mi_rows, mfm_rows, msc_rows = [], [], []
+    entries = []
+    gi_base = mg_base = 0
+    for lower, mset in ((True, kd.minor_lower), (False, kd.minor_upper)):
+        fgroups = _flavor_groups(mset.flavor)
+        flavs = sorted(fgroups)
+        for gi, f in enumerate(flavs):
+            for it in range(2):
+                mi_rows.append(((coeffs.jtemp + it) * netam1
+                                + coeffs.jeta[it, f]).astype(dtype))
+                mfm_rows.append(coeffs.fminor[it, 0, f])
+                mfm_rows.append(coeffs.fminor[it, 1, f])
+            for m in fgroups[f]:
+                entries.append((lower, gi_base + gi, mg_base + m,
+                                int(mset.limits_gpt[m][0]),
+                                int(mset.limits_gpt[m][1])
+                                - int(mset.limits_gpt[m][0]) + 1,
+                                int(mset.kminor_start[m])))
+        msc_rows.extend(_minor_scaling_rows(
+            coeffs, mset, lower=lower, play=play_c, tlay=tlay_c,
+            col_gas=col_gas_c, idx_h2o=idx_h2o, dtype=dtype))
+        gi_base += len(flavs)
+        mg_base += len(mset.kminor_start)
+
+    zrow = jnp.zeros((nlay, ncol), dtype)
+    mi = jnp.stack(mi_rows or [zrow], 0)
+    mfm = jnp.stack(mfm_rows or [zrow], 0)
+    msc = jnp.stack(msc_rows or [zrow], 0)
+
+    band_minors, band_g0 = [], []
+    for b in range(nbnd):
+        b0 = int(bands[b, 0]) - 1
+        band_g0.append(b0)
+        b1 = b0 + w
+        members = []
+        for (lower, gi, mg, g0m, wm, start) in entries:
+            i0, i1 = max(g0m, b0), min(g0m + wm, b1)
+            if i1 > i0:
+                members.append((lower, gi, mg, start + (i0 - g0m),
+                                i0 - b0, i1 - i0))
+        band_minors.append(tuple(members))
+
+    mtab_lo = kd.kminor_lower_lane
+    mtab_up = kd.kminor_upper_lane
+    if mtab_lo is None or mtab_lo.shape[0] == 0:
+        mtab_lo = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    if mtab_up is None or mtab_up.shape[0] == 0:
+        mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+
+    incdif_w = incdif if incdif is not None else jnp.zeros_like(inc)
+    # band-major krayl: rows (nbnd, [atm, de, g-in-band], 128) so the
+    # fused kernel's per-band block uses only static row slices
+    nlanes = kd.krayl_lane.shape[-1]
+    rayl_band = (kd.krayl_lane.reshape(2, 2, nbnd, w, nlanes)
+                 .transpose(2, 0, 1, 3, 4).reshape(nbnd, 4 * w, nlanes))
+    return sw_fused_gas_optics_solve(
+        flav, desc, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+        rayl_band, cloud, mu0,
+        sfc_alb_dir.reshape(nbnd, w, ncol),
+        sfc_alb_dif.reshape(nbnd, w, ncol),
+        inc.reshape(nbnd, w, ncol), incdif_w.reshape(nbnd, w, ncol),
+        nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav, ngpt=ngpt,
+        band_minors=tuple(band_minors), band_g0=tuple(band_g0),
+        interpret=interpret)

@@ -38,12 +38,13 @@ from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
 __all__ = ["lw_fused_gas_optics_solve"]
 
 
-def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
+def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref,
                      pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
                      up_ref, dn_ref,
                      tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
-                     nlay, w, pspan, band_minors, ncont_lo, with_cloud):
+                     nlay, w, pspan, band_minors, ncont_lo, nflav,
+                     with_cloud):
     b = pl.program_id(1)
     dtype = tau_s.dtype
     eps = np.finfo(np.float32).eps
@@ -52,22 +53,34 @@ def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
     ds = dsw_ref[0]
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
     ntw = 2 * w     # [tau rows, planck rows] payload
+    # desc rows: [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
+    # cm(2*nflav)] — flavor rows selected at runtime via the SMEM
+    # band->flavor table (no per-band descriptor materialization)
+    TE0, FE0, CM0 = 5, 5 + 2 * nflav, 5 + 4 * nflav
+    flo = flav_ref[2 * b]
+    fhi = flav_ref[2 * b + 1]
 
-    # ---- per-layer gas optics: major (+pfrac) and minor lookups ----
+    # ---- per-layer gas optics: major (+pfrac) lookups ----
     def build_layer(l, _):
-        bd = bd_ref[0, :, l, :]                              # (8, BC)
-        fp = fpjp_ref[0, l, :][None, :]
-        jp = fpjp_ref[1, l, :].astype(jnp.int32)
+        fp = desc_ref[0, l, :][None, :]
+        jp = desc_ref[1, l, :].astype(jnp.int32)
+        tropo = desc_ref[2, l, :]
         jp0 = jnp.min(jp)
         jpl = jnp.clip(jp - jp0, 0, pspan - 2)
         uniform = jnp.max(jp) == jp0
 
+        def fields(it):
+            def sel(base):
+                return jnp.where(tropo > 0.5,
+                                 desc_ref[base + 2 * flo + it, l, :],
+                                 desc_ref[base + 2 * fhi + it, l, :])
+            return (sel(TE0).astype(jnp.int32), sel(FE0)[None, :],
+                    sel(CM0)[None, :], desc_ref[3 + it, l, :][None, :])
+
         def combine(pres_of_it):
             acc = None
             for it in range(2):
-                pres = pres_of_it(it)
-                ftv = bd[6 + it, :][None, :]
-                cmv = bd[4 + it, :][None, :]
+                pres, cmv, ftv = pres_of_it(it)
                 term = jnp.concatenate(
                     [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]], axis=0)
                 acc = term if acc is None else acc + term
@@ -79,12 +92,12 @@ def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
             slab = tab_ref[0, pl.ds(jp0 * ntw, 2 * ntw), :]
 
             def pres_of_it(it):
-                te = bd[it, :].astype(jnp.int32)
-                fe = bd[2 + it, :][None, :]
+                te, fe, cmv, ftv = fields(it)
                 g0 = _gather_rows(slab, te)
                 g1 = _gather_rows(slab, te + 1)
                 kk = (1.0 - fe) * g0 + fe * g1
-                return (1.0 - fp) * kk[:ntw, :] + fp * kk[ntw:, :]
+                return ((1.0 - fp) * kk[:ntw, :] + fp * kk[ntw:, :],
+                        cmv, ftv)
 
             combine(pres_of_it)
 
@@ -93,8 +106,7 @@ def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
             slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]
 
             def pres_of_it(it):
-                te = bd[it, :].astype(jnp.int32)
-                fe = bd[2 + it, :][None, :]
+                te, fe, cmv, ftv = fields(it)
                 g0 = _gather_rows(slab, te)
                 g1 = _gather_rows(slab, te + 1)
                 kk = (1.0 - fe) * g0 + fe * g1
@@ -104,7 +116,7 @@ def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
                     m = (jpl == p).astype(kk.dtype)[None, :]
                     sel0 = sel0 + m * kk[p * ntw:(p + 1) * ntw, :]
                     sel1 = sel1 + m * kk[(p + 1) * ntw:(p + 2) * ntw, :]
-                return (1.0 - fp) * sel0 + fp * sel1
+                return ((1.0 - fp) * sel0 + fp * sel1, cmv, ftv)
 
             combine(pres_of_it)
 
@@ -205,18 +217,24 @@ def _fused_lw_kernel(dsw_ref, bd_ref, fpjp_ref, mi_ref, mfm_ref, msc_ref,
         dn_ref[:, :] += bb_dn
 
 
-def lw_fused_gas_optics_solve(bd, fpjp, mi, mfm, msc, table_lane,
+def lw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
                               mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
                               emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
-                              band_minors, cloud_tau_abs=None,
+                              nflav, band_minors, cloud_tau_abs=None,
                               interpret: bool = False):
     """Run the fused gas-optics + LW solve. All per-cell descriptor arrays
     arrive reshaped (rows, nlay, ncol) layer-major; see the builder in
     ops/gas_optics_pallas.lw_fused_lanes for their exact contents.
+    flav: (2*nbnd,) int32 per-band (flavor_lower, flavor_upper) SMEM table.
     Returns (flux_up, flux_dn), each (nlay+1, ncol), top at index 0."""
-    dtype = fpjp.dtype
+    dtype = desc.dtype
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
+    # edge-pad the descriptor columns: padded lanes share a 128-lane group
+    # with real cells, and a zero-padded jp row would blow the pressure
+    # window for the real lanes
+    padc_e = lambda x: (x if pc == 0 else jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, pc)], mode="edge"))
     ncol_p = ncol + pc
     nlev = nlay + 1
     with_cloud = cloud_tau_abs is not None
@@ -228,7 +246,7 @@ def lw_fused_gas_optics_solve(bd, fpjp, mi, mfm, msc, table_lane,
     kern = functools.partial(
         _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, ncont_lo=mtab_lo.shape[0] // 2,
-        with_cloud=with_cloud)
+        nflav=nflav, with_cloud=with_cloud)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -246,10 +264,8 @@ def lw_fused_gas_optics_solve(bd, fpjp, mi, mfm, msc, table_lane,
         kern,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
-            smem,
-            pl.BlockSpec((1, 8, nlay, _BC), lambda c, b: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            cb_rows(fpjp), cb_rows(mi), cb_rows(mfm), cb_rows(msc),
+            smem, smem,
+            cb_rows(desc), cb_rows(mi), cb_rows(mfm), cb_rows(msc),
             pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
                          lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
             resident(mtab_lo), resident(mtab_up),
@@ -274,7 +290,7 @@ def lw_fused_gas_optics_solve(bd, fpjp, mi, mfm, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dsw, padc(bd), padc(fpjp), padc(mi), padc(mfm), padc(msc),
+    )(dsw, flav, padc_e(desc), padc(mi), padc(mfm), padc(msc),
       table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
     return up[:, :ncol], dn[:, :ncol]

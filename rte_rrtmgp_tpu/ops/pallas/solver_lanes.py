@@ -362,14 +362,15 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
     t = tau_ref[:, :, :]
     w0 = ssa_ref[:, :, :]
     asym = g_ref[:, :, :]
-    _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
-             incdif_ref, up_ref, dn_ref, dir_ref,
+    _sw_body(t, w0, asym, mu0_ref[:, :], albdir_ref[:, :],
+             albdif_ref[:, :], inc_ref[:, :], incdif_ref[:, :],
+             up_ref, dn_ref, dir_ref,
              dirlev, sdn_s, sup_s, rdif_s, tdif_s,
              alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
 
 
-def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
-             incdif_ref, up_ref, dn_ref, dir_ref,
+def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
+             up_ref, dn_ref, dir_ref,
              dirlev, sdn_s, sup_s, rdif_s, tdif_s,
              alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay):
     gb = pl.program_id(1)
@@ -378,7 +379,7 @@ def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
     min_k = jnp.asarray(1.0e4 * np.finfo(np.float32).eps, dtype)
     min_mu0 = jnp.asarray(np.sqrt(np.finfo(np.float32).eps), dtype)
 
-    mu0 = mu0_ref[:, :][None, :, :]                      # (1, nlay, BC)
+    mu0 = mu0v[None, :, :]                               # (1, nlay, BC)
     mu0_s = jnp.maximum(min_mu0, mu0)
 
     # Meador-Weaver / PIFM layer coefficients (reference :985-1127)
@@ -413,7 +414,7 @@ def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
     tdir = jnp.clip(tdir, 0.0, 1.0 - tns - rdir)
 
     # direct-beam sweep (needs the level-resolved beam for the sources)
-    dirlev[:, 0, :] = inc_ref[:, :] * mu0_ref[0, :][None, :]
+    dirlev[:, 0, :] = incv * mu0v[0, :][None, :]
 
     def down_dir(l, _):
         dirlev[:, l + 1, :] = dirlev[:, l, :] * tns_s[:, l, :]
@@ -425,9 +426,9 @@ def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
     sup_s[:, :, :] = day * rdir * dirlev[:, :-1, :]
     sdn_s[:, :, :] = day * tdir * dirlev[:, :-1, :]
 
-    day_sfc = (mu0_ref[nlay - 1, :][None, :] > 0.0).astype(dtype)
-    alb_s[:, nlay, :] = albdif_ref[:, :]
-    src_s[:, nlay, :] = day_sfc * dirlev[:, nlay, :] * albdir_ref[:, :]
+    day_sfc = (mu0v[nlay - 1, :][None, :] > 0.0).astype(dtype)
+    alb_s[:, nlay, :] = albdifv
+    src_s[:, nlay, :] = day_sfc * dirlev[:, nlay, :] * albdirv
 
     # Shonk-Hogan adding: bottom-up albedo/source build (Eqs 9-11)
     def up_build(i, _):
@@ -446,8 +447,8 @@ def _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
     jax.lax.fori_loop(0, nlay, up_build, 0)
 
     # top-down flux sweep (Eqs 12-13)
-    fdn_s[:, 0, :] = incdif_ref[:, :]
-    fup_s[:, 0, :] = incdif_ref[:, :] * alb_s[:, 0, :] + src_s[:, 0, :]
+    fdn_s[:, 0, :] = incdifv
+    fup_s[:, 0, :] = incdifv * alb_s[:, 0, :] + src_s[:, 0, :]
 
     def dn_sweep(v, _):
         f = (tdif_s[:, v, :] * fdn_s[:, v, :]
@@ -558,8 +559,9 @@ def _sw_mega_kernel(taua_ref, ray_ref, ct_ref, cs_ref, cg_ref,
         w0 = jnp.where(t > 2.0 * tiny, ssa12, ssa_gas)
     else:
         t, w0, asym = t_gas, ssa_gas, jnp.zeros_like(t_gas)
-    _sw_body(t, w0, asym, mu0_ref, albdir_ref, albdif_ref, inc_ref,
-             incdif_ref, up_ref, dn_ref, dir_ref,
+    _sw_body(t, w0, asym, mu0_ref[:, :], albdir_ref[:, :],
+             albdif_ref[:, :], inc_ref[:, :], incdif_ref[:, :],
+             up_ref, dn_ref, dir_ref,
              dirlev, sdn_s, sup_s, rdif_s, tdif_s,
              alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
 
