@@ -312,6 +312,53 @@ def _minor_scaling_rows(coeffs, mset, *, lower, play, tlay, col_gas,
     return rows
 
 
+def _minor_static(coeffs, kd, bands, w, play_c, tlay_c, col_gas_c,
+                  idx_h2o, dtype):
+    """Minor-gas scaling rows + per-band statically-clipped windows for
+    the fused kernels, whose minors read eta rows straight from the
+    per-flavor descriptor table. Members: (lower, flavor, mg_global,
+    kminor_start, local_g0, width)."""
+    nbnd = bands.shape[0]
+    nlay, ncol = coeffs.jtemp.shape
+    msc_rows, entries = [], []
+    mg_base = 0
+    for lower, mset in ((True, kd.minor_lower), (False, kd.minor_upper)):
+        for m in range(len(mset.kminor_start)):
+            entries.append((lower, int(mset.flavor[m]), mg_base + m,
+                            int(mset.limits_gpt[m][0]),
+                            int(mset.limits_gpt[m][1])
+                            - int(mset.limits_gpt[m][0]) + 1,
+                            int(mset.kminor_start[m])))
+        msc_rows.extend(_minor_scaling_rows(
+            coeffs, mset, lower=lower, play=play_c, tlay=tlay_c,
+            col_gas=col_gas_c, idx_h2o=idx_h2o, dtype=dtype))
+        mg_base += len(mset.kminor_start)
+    zrow = jnp.zeros((nlay, ncol), dtype)
+    msc = jnp.stack(msc_rows or [zrow], 0)
+    band_minors = []
+    for b in range(nbnd):
+        b0 = int(bands[b, 0]) - 1
+        b1 = b0 + w
+        members = []
+        for (lower, f, mg, g0m, wm, start) in entries:
+            i0, i1 = max(g0m, b0), min(g0m + wm, b1)
+            if i1 > i0:
+                members.append((lower, f, mg, start + (i0 - g0m),
+                                i0 - b0, i1 - i0))
+        band_minors.append(tuple(members))
+    return msc, tuple(band_minors)
+
+
+def _minor_tables(kd, dtype):
+    mtab_lo = kd.kminor_lower_lane
+    mtab_up = kd.kminor_upper_lane
+    if mtab_lo is None or mtab_lo.shape[0] == 0:
+        mtab_lo = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    if mtab_up is None or mtab_up.shape[0] == 0:
+        mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    return mtab_lo, mtab_up
+
+
 def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
                    pb_lay, pb_lev, pb_sfc, emis, inc, ds, weight,
                    cloud_tau_abs=None, interpret: bool = False):
@@ -354,6 +401,11 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
     for f in range(nflav):
         for it in range(2):
             rows.append(coeffs.col_mix[it, f])
+    netam1 = neta - 1
+    for f in range(nflav):
+        for it in range(2):
+            rows.append(((coeffs.jtemp + it) * netam1
+                         + coeffs.jeta[it, f]).astype(dtype))
     desc = jnp.stack(rows, 0)
     flav_rows = []
     for b in range(nbnd):
@@ -361,60 +413,12 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
         flav_rows.extend([int(gflav[0, g0]), int(gflav[1, g0])])
     flav = jnp.asarray(flav_rows, jnp.int32)
 
-    # minor descriptors: lower groups then upper groups
-    netam1 = neta - 1
-    mi_rows, mfm_rows, msc_rows = [], [], []
-    entries = []      # (lower, gi_global, mg_global, g0_window, wm, start)
-    gi_base = 0
-    mg_base = 0
-    for lower, mset in ((True, kd.minor_lower), (False, kd.minor_upper)):
-        fgroups = _flavor_groups(mset.flavor)
-        flavs = sorted(fgroups)
-        for gi, f in enumerate(flavs):
-            for it in range(2):
-                mi_rows.append(((coeffs.jtemp + it) * netam1
-                                + coeffs.jeta[it, f]).astype(dtype))
-                mfm_rows.append(coeffs.fminor[it, 0, f])
-                mfm_rows.append(coeffs.fminor[it, 1, f])
-            for m in fgroups[f]:
-                entries.append((lower, gi_base + gi, mg_base + m,
-                                int(mset.limits_gpt[m][0]),
-                                int(mset.limits_gpt[m][1])
-                                - int(mset.limits_gpt[m][0]) + 1,
-                                int(mset.kminor_start[m])))
-        msc_rows.extend(_minor_scaling_rows(
-            coeffs, mset, lower=lower, play=play_c, tlay=tlay_c,
-            col_gas=col_gas_c, idx_h2o=idx_h2o, dtype=dtype))
-        gi_base += len(flavs)
-        mg_base += len(mset.kminor_start)
-
-    zrow = jnp.zeros((nlay, ncol), dtype)
-    mi = jnp.stack(mi_rows or [zrow], 0)
-    mfm = jnp.stack(mfm_rows or [zrow], 0)
-    msc = jnp.stack(msc_rows or [zrow], 0)
-
-    # clip minor windows to each band (static)
-    band_minors = []
-    for b in range(nbnd):
-        b0 = int(bands[b, 0]) - 1
-        b1 = b0 + w
-        members = []
-        for (lower, gi, mg, g0m, wm, start) in entries:
-            i0, i1 = max(g0m, b0), min(g0m + wm, b1)
-            if i1 > i0:
-                members.append((lower, gi, mg, start + (i0 - g0m),
-                                i0 - b0, i1 - i0))
-        band_minors.append(tuple(members))
-
-    mtab_lo = kd.kminor_lower_lane
-    mtab_up = kd.kminor_upper_lane
-    if mtab_lo is None or mtab_lo.shape[0] == 0:
-        mtab_lo = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
-    if mtab_up is None or mtab_up.shape[0] == 0:
-        mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    msc, band_minors = _minor_static(coeffs, kd, bands, w, play_c, tlay_c,
+                                     col_gas_c, idx_h2o, dtype)
+    mtab_lo, mtab_up = _minor_tables(kd, dtype)
 
     return lw_fused_gas_optics_solve(
-        flav, desc, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+        flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
         pb_lay, pb_lev, pb_sfc[:, None, :],
         emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
         ds=ds, weight=weight, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
@@ -477,55 +481,10 @@ def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
         flav_rows.extend([int(gflav[0, g0]), int(gflav[1, g0])])
     flav = jnp.asarray(flav_rows, jnp.int32)
 
-    # minor descriptors + static per-band clipped windows (as in LW)
-    mi_rows, mfm_rows, msc_rows = [], [], []
-    entries = []
-    gi_base = mg_base = 0
-    for lower, mset in ((True, kd.minor_lower), (False, kd.minor_upper)):
-        fgroups = _flavor_groups(mset.flavor)
-        flavs = sorted(fgroups)
-        for gi, f in enumerate(flavs):
-            for it in range(2):
-                mi_rows.append(((coeffs.jtemp + it) * netam1
-                                + coeffs.jeta[it, f]).astype(dtype))
-                mfm_rows.append(coeffs.fminor[it, 0, f])
-                mfm_rows.append(coeffs.fminor[it, 1, f])
-            for m in fgroups[f]:
-                entries.append((lower, gi_base + gi, mg_base + m,
-                                int(mset.limits_gpt[m][0]),
-                                int(mset.limits_gpt[m][1])
-                                - int(mset.limits_gpt[m][0]) + 1,
-                                int(mset.kminor_start[m])))
-        msc_rows.extend(_minor_scaling_rows(
-            coeffs, mset, lower=lower, play=play_c, tlay=tlay_c,
-            col_gas=col_gas_c, idx_h2o=idx_h2o, dtype=dtype))
-        gi_base += len(flavs)
-        mg_base += len(mset.kminor_start)
-
-    zrow = jnp.zeros((nlay, ncol), dtype)
-    mi = jnp.stack(mi_rows or [zrow], 0)
-    mfm = jnp.stack(mfm_rows or [zrow], 0)
-    msc = jnp.stack(msc_rows or [zrow], 0)
-
-    band_minors, band_g0 = [], []
-    for b in range(nbnd):
-        b0 = int(bands[b, 0]) - 1
-        band_g0.append(b0)
-        b1 = b0 + w
-        members = []
-        for (lower, gi, mg, g0m, wm, start) in entries:
-            i0, i1 = max(g0m, b0), min(g0m + wm, b1)
-            if i1 > i0:
-                members.append((lower, gi, mg, start + (i0 - g0m),
-                                i0 - b0, i1 - i0))
-        band_minors.append(tuple(members))
-
-    mtab_lo = kd.kminor_lower_lane
-    mtab_up = kd.kminor_upper_lane
-    if mtab_lo is None or mtab_lo.shape[0] == 0:
-        mtab_lo = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
-    if mtab_up is None or mtab_up.shape[0] == 0:
-        mtab_up = jnp.zeros((2, LANE_ROWS_MAX_F), dtype)
+    msc, band_minors = _minor_static(coeffs, kd, bands, w, play_c, tlay_c,
+                                     col_gas_c, idx_h2o, dtype)
+    band_g0 = [int(bands[b, 0]) - 1 for b in range(nbnd)]
+    mtab_lo, mtab_up = _minor_tables(kd, dtype)
 
     incdif_w = incdif if incdif is not None else jnp.zeros_like(inc)
     # band-major krayl: rows (nbnd, [atm, de, g-in-band], 128) so the
@@ -534,7 +493,7 @@ def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
     rayl_band = (kd.krayl_lane.reshape(2, 2, nbnd, w, nlanes)
                  .transpose(2, 0, 1, 3, 4).reshape(nbnd, 4 * w, nlanes))
     return sw_fused_gas_optics_solve(
-        flav, desc, mi, mfm, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+        flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
         rayl_band, cloud, mu0,
         sfc_alb_dir.reshape(nbnd, w, ncol),
         sfc_alb_dif.reshape(nbnd, w, ncol),

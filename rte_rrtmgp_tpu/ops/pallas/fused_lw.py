@@ -38,7 +38,7 @@ from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
 __all__ = ["lw_fused_gas_optics_solve"]
 
 
-def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
+def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref,
                      pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
                      up_ref, dn_ref,
@@ -54,9 +54,11 @@ def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
     ntw = 2 * w     # [tau rows, planck rows] payload
     # desc rows: [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
-    # cm(2*nflav)] — flavor rows selected at runtime via the SMEM
-    # band->flavor table (no per-band descriptor materialization)
+    # cm(2*nflav), tr(2*nflav)] — flavor rows selected at runtime via the
+    # SMEM band->flavor table; tr is the minor-domain row index
+    # (jt+it)*(neta-1)+jeta, which the minor windows read directly
     TE0, FE0, CM0 = 5, 5 + 2 * nflav, 5 + 4 * nflav
+    TR0 = 5 + 6 * nflav
     flo = flav_ref[2 * b]
     fhi = flav_ref[2 * b + 1]
 
@@ -134,19 +136,19 @@ def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
         @pl.when(b == bi)
         def _(members=members):
             def minor_layer(l, _):
-                for (lower, gi, mg, start, lg0, wm) in members:
-                    mrow = 2 * gi
-                    frow = 4 * gi
-                    rows = mi_ref[mrow, l, :].astype(jnp.int32)
-                    rows1 = mi_ref[mrow + 1, l, :].astype(jnp.int32)
+                for (lower, f, mg, start, lg0, wm) in members:
                     ncont = (ncont_lo if lower
                              else mtab_up_ref.shape[0] // 2)
                     tref = mtab_lo_ref if lower else mtab_up_ref
                     scal = msc_ref[mg, l, :][None, :]
                     kk = jnp.zeros((wm, _BC), dtype)
-                    for it, rr in ((0, rows), (1, rows1)):
-                        fm0 = mfm_ref[frow + 2 * it, l, :][None, :]
-                        fm1 = mfm_ref[frow + 2 * it + 1, l, :][None, :]
+                    for it in range(2):
+                        rr = desc_ref[TR0 + 2 * f + it, l, :
+                                      ].astype(jnp.int32)
+                        fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
+                        ftv = desc_ref[3 + it, l, :][None, :]
+                        fm0 = (1.0 - fe) * ftv
+                        fm1 = fe * ftv
                         lo = _gather_rows(tref[start:start + wm, :], rr)
                         hi = _gather_rows(
                             tref[ncont + start:ncont + start + wm, :], rr)
@@ -217,7 +219,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
         dn_ref[:, :] += bb_dn
 
 
-def lw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
+def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                               mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
                               emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
                               nflav, band_minors, cloud_tau_abs=None,
@@ -265,7 +267,7 @@ def lw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
             smem, smem,
-            cb_rows(desc), cb_rows(mi), cb_rows(mfm), cb_rows(msc),
+            cb_rows(desc), cb_rows(msc),
             pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
                          lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
             resident(mtab_lo), resident(mtab_up),
@@ -290,7 +292,7 @@ def lw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dsw, flav, padc_e(desc), padc(mi), padc(mfm), padc(msc),
+    )(dsw, flav, padc_e(desc), padc(msc),
       table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
     return up[:, :ncol], dn[:, :ncol]

@@ -32,7 +32,7 @@ from .solver_lanes import _sw_body
 __all__ = ["sw_fused_gas_optics_solve"]
 
 
-def _fused_sw_kernel(flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
+def _fused_sw_kernel(flav_ref, desc_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref, rayl_ref,
                      ct_ref, cs_ref, cg_ref,
                      mu0_ref, albdir_ref, albdif_ref, inc_ref, incdif_ref,
@@ -149,19 +149,19 @@ def _fused_sw_kernel(flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
             members = band_minors[bi]
             if members:
                 def minor_layer(l, _):
-                    for (lower, gi, mg, start, lg0, wm) in members:
-                        mrow = 2 * gi
-                        frow = 4 * gi
-                        rows = mi_ref[mrow, l, :].astype(jnp.int32)
-                        rows1 = mi_ref[mrow + 1, l, :].astype(jnp.int32)
+                    for (lower, f, mg, start, lg0, wm) in members:
                         ncont = (ncont_lo if lower
                                  else mtab_up_ref.shape[0] // 2)
                         tref = mtab_lo_ref if lower else mtab_up_ref
                         scal = msc_ref[mg, l, :][None, :]
                         kk = jnp.zeros((wm, _BC), dtype)
-                        for it, rr in ((0, rows), (1, rows1)):
-                            fm0 = mfm_ref[frow + 2 * it, l, :][None, :]
-                            fm1 = mfm_ref[frow + 2 * it + 1, l, :][None, :]
+                        for it in range(2):
+                            rr = desc_ref[TR0 + 2 * f + it, l, :
+                                          ].astype(jnp.int32)
+                            fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
+                            ftv = desc_ref[3 + it, l, :][None, :]
+                            fm0 = (1.0 - fe) * ftv
+                            fm1 = fe * ftv
                             lo = _gather_rows(tref[start:start + wm, :], rr)
                             hi = _gather_rows(
                                 tref[ncont + start:ncont + start + wm, :],
@@ -198,7 +198,7 @@ def _fused_sw_kernel(flav_ref, desc_ref, mi_ref, mfm_ref, msc_ref,
              alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
 
 
-def sw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
+def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                               mtab_lo, mtab_up, rayl_lane, cloud,
                               mu0, sfc_alb_dir, sfc_alb_dif, inc, incdif, *,
                               nbnd, w, nlay, ncol, nflav, ngpt,
@@ -249,7 +249,7 @@ def sw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
             smem,
-            cb_rows(desc), cb_rows(mi), cb_rows(mfm), cb_rows(msc),
+            cb_rows(desc), cb_rows(msc),
             pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
                          lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
             resident(mtab_lo), resident(mtab_up),
@@ -268,7 +268,7 @@ def sw_fused_gas_optics_solve(flav, desc, mi, mfm, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flav, padc_e(desc), padc(mi), padc(mfm), padc(msc),
+    )(flav, padc_e(desc), padc(msc),
       table_lane, mtab_lo, mtab_up, rayl_lane,
       padc(cloud[0]), padc(cloud[1]), padc(cloud[2]),
       padc_e(mu0), padc(sfc_alb_dir), padc(sfc_alb_dif), padc(inc),
