@@ -224,14 +224,65 @@ def _block_map(fn, data: RFMIPData, block_size: Optional[int]):
                  for i in range(len(outs[0])))
 
 
+def _flip_lay(gas_concs: GasConcs) -> GasConcs:
+    """Reverse the layer axis of every layer-resolved VMR field."""
+    def flip(v):
+        nd = getattr(v, "ndim", 0)
+        if nd == 2:
+            return v[:, ::-1]
+        if nd == 1:      # (nlay,) layer profile
+            return v[::-1]
+        return v
+    return GasConcs(names=gas_concs.names,
+                    values=tuple(flip(v) for v in gas_concs.values))
+
+
 def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
              n_gauss_angles: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     """LW clear-sky fluxes (rlu, rld), each (ncol, nlay+1)
-    (reference rrtmgp_rfmip_lw.F90 block loop :252-288)."""
+    (reference rrtmgp_rfmip_lw.F90 block loop :252-288). On TPU the
+    single-angle broadband default dispatches to the grand fused
+    gas-optics + solve kernel (ops/pallas/fused_lw.py)."""
     top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+
+    # the fused kernel's pressure-window guard must run eagerly on the
+    # concrete pressures (inside jit they are tracers)
+    fused_ok = n_gauss_angles == 1 and hasattr(gas_optics, "lw_fused_solve")
+    if fused_ok:
+        from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
+        from ..ops.pallas.major_gather import PSPAN
+        kd = gas_optics.kdist
+        fused_ok = pressure_window_ok_by_layer(
+            data.play if top_at_1 else data.play[:, ::-1],
+            press_ref_log=kd.press_ref_log,
+            press_ref_log_delta=kd.press_ref_log_delta,
+            press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+    def fused(play, plev, tlay, tlev, tsfc, emis, gas_concs):
+        from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
+        if not fused_ok:
+            return None
+        if not top_at_1:   # the fused path is top-at-index-0; flip
+            play, plev = play[:, ::-1], plev[:, ::-1]
+            tlay, tlev = tlay[:, ::-1], tlev[:, ::-1]
+            gas_concs = _flip_lay(gas_concs)
+        ncol = play.shape[0]
+        emis_l = jnp.broadcast_to(emis[None, :], (gas_optics.ngpt, ncol))
+        out = gas_optics.lw_fused_solve(
+            play, plev, tlay, tsfc, gas_concs, sfc_emis=emis_l, tlev=tlev,
+            ds=GAUSS_DS[0][0], weight=GAUSS_WTS[0][0])
+        if out is None:
+            return None
+        up, dn = out[0].T, out[1].T
+        if not top_at_1:
+            up, dn = up[:, ::-1], dn[:, ::-1]
+        return up, dn
 
     @jax.jit
     def solve(play, plev, tlay, tlev, tsfc, emis, gas_concs):
+        f = fused(play, plev, tlay, tlev, tsfc, emis, gas_concs)
+        if f is not None:
+            return f
         props, sources = gas_optics.gas_optics_lw(
             play, plev, tlay, tsfc, gas_concs, tlev=tlev, top_at_1=top_at_1)
         f = rte_lw(props, sources, emis[:, None],
@@ -258,8 +309,49 @@ def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
     top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
     deg_to_rad = np.pi / 180.0
 
+    fused_ok = hasattr(gas_optics, "sw_fused_solve")
+    if fused_ok:
+        from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
+        from ..ops.pallas.major_gather import PSPAN
+        kd = gas_optics.kdist
+        fused_ok = pressure_window_ok_by_layer(
+            data.play if top_at_1 else data.play[:, ::-1],
+            press_ref_log=kd.press_ref_log,
+            press_ref_log_delta=kd.press_ref_log_delta,
+            press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+    def fused(play, plev, tlay, alb, tsi, sza, gas_concs):
+        if not fused_ok:
+            return None
+        if not top_at_1:
+            play, plev, tlay = play[:, ::-1], plev[:, ::-1], tlay[:, ::-1]
+            gas_concs = _flip_lay(gas_concs)
+        ncol, nlay = play.shape
+        kd = gas_optics.kdist
+        usecol = sza < 90.0 - 2.0 * jnp.finfo(sza.dtype).eps * 90.0
+        mu0 = jnp.where(usecol, jnp.cos(sza * deg_to_rad), 1.0)
+        mu0_l = jnp.broadcast_to(mu0[None, :], (nlay, ncol))
+        # TSI normalization of the standard solar source (reference
+        # rrtmgp_rfmip_sw.F90 :285-291)
+        ssrc = jnp.asarray(kd.solar_source, play.dtype)
+        inc = ssrc[:, None] * (tsi / jnp.sum(ssrc))[None, :]
+        alb_l = jnp.broadcast_to(alb[None, :], (kd.ngpt, ncol))
+        out = gas_optics.sw_fused_solve(
+            play, plev, tlay, gas_concs, mu0=mu0_l, sfc_alb_dir=alb_l,
+            sfc_alb_dif=alb_l, inc_flux=inc)
+        if out is None:
+            return None
+        up, dn = out[0].T, out[1].T
+        if not top_at_1:
+            up, dn = up[:, ::-1], dn[:, ::-1]
+        mask = usecol[:, None].astype(up.dtype)
+        return up * mask, dn * mask
+
     @jax.jit
     def solve(play, plev, tlay, alb, tsi, sza, gas_concs):
+        f = fused(play, plev, tlay, alb, tsi, sza, gas_concs)
+        if f is not None:
+            return f
         props, toa = gas_optics.gas_optics_sw(play, plev, tlay, gas_concs,
                                               top_at_1=top_at_1)
         def_tsi = jnp.sum(toa, axis=-1, keepdims=True)

@@ -25,6 +25,7 @@ from ...ops.gas_optics import (InterpCoeffs, interpolation,
                                planck_sources_lanes, tau_major, tau_minor,
                                tau_rayleigh)
 from ...ops.gas_optics_pallas import (lane_gather_ok, pressure_window_ok,
+                                      pressure_window_ok_by_layer,
                                       pressure_window_ok_from_play,
                                       tau_major_pallas, tau_minor_pallas,
                                       tau_rayleigh_pallas)
@@ -407,7 +408,7 @@ class GasOpticsRRTMGP:
         if not use_pallas or kd.kmajor_lane is None:
             return None
         if not isinstance(play, jax.core.Tracer):
-            if not pressure_window_ok_from_play(
+            if not pressure_window_ok_by_layer(
                     play, press_ref_log=kd.press_ref_log,
                     press_ref_log_delta=kd.press_ref_log_delta,
                     press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):
@@ -463,7 +464,7 @@ class GasOpticsRRTMGP:
         if not use_pallas or kd.kmajor_lane is None:
             return None
         if not isinstance(play, jax.core.Tracer):
-            if not pressure_window_ok_from_play(
+            if not pressure_window_ok_by_layer(
                     play, press_ref_log=kd.press_ref_log,
                     press_ref_log_delta=kd.press_ref_log_delta,
                     press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):

@@ -194,6 +194,34 @@ def pressure_window_ok(jp_base: np.ndarray, pspan: int) -> bool:
     return int((blocks.max(1) - blocks.min(1)).max()) <= pspan - 2
 
 
+def _jp_base_from_play(play, *, press_ref_log, press_ref_log_delta,
+                       press_ref_trop_log):
+    play = np.asarray(play, np.float64)
+    npres = int(np.asarray(press_ref_log).shape[0])
+    locpress = 1.0 + ((np.log(play) - float(np.asarray(press_ref_log)[0]))
+                      / float(press_ref_log_delta))
+    jpress = np.clip(np.trunc(locpress), 1.0, npres - 1).astype(np.int64) - 1
+    tropo = play > np.exp(float(press_ref_trop_log))
+    return jpress + np.where(tropo, 0, 1)
+
+
+def pressure_window_ok_by_layer(play, *, press_ref_log,
+                                press_ref_log_delta, press_ref_trop_log,
+                                pspan: int) -> bool:
+    """Eager PSPAN guard for the FUSED kernels, whose lane groups are 128
+    columns within ONE layer (edge-padded): max per-(layer, group)
+    pressure-index span must fit the window. play: (ncol, nlay)."""
+    jb = _jp_base_from_play(
+        play, press_ref_log=press_ref_log,
+        press_ref_log_delta=press_ref_log_delta,
+        press_ref_trop_log=press_ref_trop_log).T        # (nlay, ncol)
+    pad = (-jb.shape[1]) % 128
+    if pad:
+        jb = np.pad(jb, ((0, 0), (0, pad)), mode="edge")
+    grp = jb.reshape(jb.shape[0], -1, 128)
+    return int((grp.max(2) - grp.min(2)).max()) <= pspan - 2
+
+
 def pressure_window_ok_from_play(play, *, press_ref_log,
                                  press_ref_log_delta, press_ref_trop_log,
                                  pspan: int) -> bool:
@@ -202,13 +230,10 @@ def pressure_window_ok_from_play(play, *, press_ref_log,
     Mirrors the jpress/tropo computation in ops.gas_optics.interpolation
     (reference kernels :111-117); off-by-one disagreements with the traced
     computation only shift a cell into the clamped nearest-window path."""
-    play = np.asarray(play, np.float64)
-    npres = int(np.asarray(press_ref_log).shape[0])
-    locpress = 1.0 + ((np.log(play) - float(np.asarray(press_ref_log)[0]))
-                      / float(press_ref_log_delta))
-    jpress = np.clip(np.trunc(locpress), 1.0, npres - 1).astype(np.int64) - 1
-    tropo = play > np.exp(float(press_ref_trop_log))
-    jb = jpress + np.where(tropo, 0, 1)
+    jb = _jp_base_from_play(
+        play, press_ref_log=press_ref_log,
+        press_ref_log_delta=press_ref_log_delta,
+        press_ref_trop_log=press_ref_trop_log)
     return pressure_window_ok(jb, pspan)
 
 
