@@ -24,7 +24,7 @@ def main():
     ncol = int(os.environ.get("BENCH_NCOL", "4096"))
     nlay = int(os.environ.get("BENCH_NLAY", "72"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
-    inner = int(os.environ.get("BENCH_INNER", "4"))
+    inner = int(os.environ.get("BENCH_INNER", "10"))
 
     from __graft_entry__ import _build
 

@@ -267,3 +267,25 @@ def test_fused_lane_step_matches_generic(sw, clouds):
         b = np.asarray(getattr(ref, name))
         np.testing.assert_allclose(a, b, rtol=3e-5, atol=5e-4,
                                    err_msg=f"{name} sw={sw} clouds={clouds}")
+
+
+def test_fused_rfmip_matches_generic():
+    """The RFMIP drivers' fused-kernel dispatch must match the generic
+    path (tiny problem; fused kernels in interpreter mode)."""
+    from rte_rrtmgp_tpu.drivers.rfmip import rfmip_lw, rfmip_sw, synthetic_rfmip
+
+    data = synthetic_rfmip(nsite=128, nlay=8, nexp=1)
+    kd_lw = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    kd_sw = synthetic_kdist(sw=True, ngpt=16, nbnd=2, ntemp=6, npres=12)
+    g_lw, g_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+
+    set_use_pallas(True)
+    up, dn = rfmip_lw(data, g_lw)
+    su, sd = rfmip_sw(data, g_sw)
+    set_use_pallas(False)
+    upr, dnr = rfmip_lw(data, g_lw)
+    sur, sdr = rfmip_sw(data, g_sw)
+
+    for name, a, b in (("rlu", up, upr), ("rld", dn, dnr),
+                       ("rsu", su, sur), ("rsd", sd, sdr)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-4, err_msg=name)
