@@ -80,3 +80,38 @@ def domain_mean(field, *, axis_name: Optional[str] = None):
     if axis_name is not None:
         local = jax.lax.pmean(local, axis_name)
     return local
+
+
+def shard_map_columns(fn, mesh: Mesh, ncol: int):
+    """Wrap ``fn(tree) -> tree`` with ``jax.shard_map`` so every array
+    whose leading axis is the column axis is split over the mesh and the
+    function body runs PER SHARD.
+
+    This is the multi-chip entry point for the Pallas paths: XLA's GSPMD
+    partitioner cannot split a custom call, so under plain ``jit`` a
+    sharded input would force the kernels to gather/replicate. Under
+    shard_map each device compiles and runs the kernels on its own
+    column shard — exactly the reference's host-side column blocking
+    (rrtmgp_rfmip_lw.F90:177-179) expressed device-side, still with no
+    collectives on the solve path.
+
+    Arrays with ``shape[0] == ncol`` get ``P(COLUMNS)``; everything else
+    is replicated. Output specs are inferred the same way from a shape
+    evaluation of ``fn``.
+    """
+    def spec_of(x, n):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+            return P(COLUMNS, *([None] * (x.ndim - 1)))
+        return P()
+
+    def wrapper(tree):
+        in_specs = jax.tree_util.tree_map(lambda x: spec_of(x, ncol), tree)
+        out_shape = jax.eval_shape(fn, tree)
+        out_specs = jax.tree_util.tree_map(lambda x: spec_of(x, ncol),
+                                           out_shape)
+        # check_vma=False: pallas_call outputs don't carry the varying-
+        # mesh-axes annotation the checker wants
+        return jax.shard_map(fn, mesh=mesh, in_specs=(in_specs,),
+                             out_specs=out_specs, check_vma=False)(tree)
+
+    return wrapper

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import COLUMNS, column_mesh
+from .mesh import COLUMNS, column_mesh, shard_map_columns
 
 __all__ = ["weak_scaling", "podscale_allsky"]
 
@@ -71,19 +71,21 @@ def weak_scaling(make_inputs: Callable[[int], object],
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
 
-    # single device
+    # single device (shard_map so the Pallas paths run per shard —
+    # GSPMD cannot partition custom calls)
     inputs1 = make_inputs(cols_per_device)
     mesh1 = Mesh(np.asarray(devices[:1]), (COLUMNS,))
-    t1 = _time_step(jax.jit(step), _shard_cols(inputs1, mesh1,
-                                               cols_per_device), reps)
+    step1 = jax.jit(shard_map_columns(step, mesh1, cols_per_device))
+    t1 = _time_step(step1, _shard_cols(inputs1, mesh1, cols_per_device),
+                    reps)
     rate1 = cols_per_device / t1
 
     # all devices
     ncol_n = cols_per_device * n
     inputs_n = make_inputs(ncol_n)
     mesh_n = Mesh(np.asarray(devices), (COLUMNS,))
-    t_n = _time_step(jax.jit(step), _shard_cols(inputs_n, mesh_n, ncol_n),
-                     reps)
+    step_n = jax.jit(shard_map_columns(step, mesh_n, ncol_n))
+    t_n = _time_step(step_n, _shard_cols(inputs_n, mesh_n, ncol_n), reps)
     rate_n = ncol_n / t_n
 
     return {
@@ -129,11 +131,13 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
     inputs = make_allsky_inputs(chunk, nlay, cloud_optics=cld_lw)
     inputs = _shard_cols(inputs, mesh, chunk)
 
-    @jax.jit
-    def step(i):
+    def step_fn(i):
         lw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
         sw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
         return lw.flux_up[:, 0], sw.flux_up[:, 0]   # keep outputs tiny
+
+    # shard_map so the Pallas fused kernels run per device shard
+    step = jax.jit(shard_map_columns(step_fn, mesh, chunk))
 
     out = step(inputs)
     _force(out)                                     # compile once

@@ -95,3 +95,36 @@ def test_pad_columns():
     np.testing.assert_array_equal(padded[10:], np.broadcast_to(a[-1:], (6, 3)))
     same, n2 = pad_columns(a[:8], 8)
     assert same.shape == (8, 3) and n2 == 8
+
+
+def test_fused_kernels_under_shard_map():
+    """The Pallas fused paths must run per-shard under jax.shard_map
+    (GSPMD cannot partition custom calls) and match the single-device
+    result. Kernels run in interpreter mode on the CPU mesh."""
+    from rte_rrtmgp_tpu.config import set_use_pallas
+    from rte_rrtmgp_tpu.parallel.mesh import shard_map_columns
+
+    kd_lw = synthetic_kdist(sw=False, ngpt=16, nbnd=2, ntemp=5, npres=10)
+    kd_sw = synthetic_kdist(sw=True, ngpt=16, nbnd=2, ntemp=5, npres=10)
+    g_lw, g_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+    cld = synthetic_cloud_optics(
+        nbnd=2, band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    ncol = 16 * NDEV
+    inputs = make_allsky_inputs(ncol, 4, cloud_optics=cld)
+    mesh = column_mesh()
+
+    def step(i):
+        lw = allsky_step_lw(i, g_lw, cloud_optics=cld)
+        sw = allsky_step_sw(i, g_sw, cloud_optics=cld)
+        return lw.flux_up, lw.flux_dn, sw.flux_up, sw.flux_dn
+
+    set_use_pallas(True)
+    try:
+        single = jax.jit(step)(inputs)
+        sharded = jax.jit(shard_map_columns(step, mesh, ncol))(inputs)
+    finally:
+        set_use_pallas(None)
+    for a, b in zip(sharded, single):
+        assert len(a.sharding.device_set) == NDEV or NDEV == 1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=5e-4)
