@@ -19,6 +19,12 @@ import jax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache: the grand fused Pallas kernels take minutes to
+# compile cold; cached runs start in seconds (same dir as tests/conftest.py)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     ncol = int(os.environ.get("BENCH_NCOL", "4096"))
