@@ -23,7 +23,20 @@ __all__ = [
     "set_dtype",
     "working_dtype",
     "checks_disabled",
+    "on_tpu",
 ]
+
+
+def on_tpu() -> bool:
+    """True iff the default JAX backend is a TPU.
+
+    Centralized probe (used by every Pallas-dispatch site) so unknown or
+    plugin backends are *not* misclassified as TPU: Mosaic kernels compile
+    natively only on real TPU backends; everything else gets interpret
+    mode or the XLA fallback.
+    """
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 @dataclasses.dataclass
@@ -38,6 +51,14 @@ class RTEConfig:
     # the 128-lane gather), True/False = force. On non-TPU backends a
     # forced True runs the kernels in interpreter mode (slow; testing).
     use_pallas: bool | None = None
+    # The Pallas major/fused kernels assume every 128-cell lane group
+    # spans at most PSPAN-1 pressure indices (true for physical
+    # atmospheres; see ops/pallas/major_gather.py). When pressures are
+    # concrete the property is checked eagerly and the XLA path is taken
+    # on failure. Inside a user jax.jit the check must be traced: by
+    # default a violation NaN-poisons the outputs (loud, cheap); set
+    # this True to assert the property holds and skip the traced check.
+    assume_pressure_window: bool = False
 
 
 _CONFIG = RTEConfig()
@@ -58,6 +79,12 @@ def set_checks(*, extents: bool | None = None, values: bool | None = None) -> No
 def set_use_pallas(value) -> None:
     """Force (True/False) or restore auto (None) Pallas kernel dispatch."""
     _CONFIG.use_pallas = value
+
+
+def set_assume_pressure_window(value: bool) -> None:
+    """Assert (True) the PSPAN pressure-window property so traced calls
+    skip the NaN-poisoning runtime guard (see RTEConfig)."""
+    _CONFIG.assume_pressure_window = value
 
 
 def set_dtype(dtype) -> None:

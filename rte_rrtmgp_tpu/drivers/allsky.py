@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import on_tpu as _cfg_on_tpu
 from ..fluxes import Fluxes
 from ..gas_concs import GasConcs
 from ..optical_props import delta_scale, increment
@@ -104,9 +105,9 @@ def make_allsky_inputs(ncol: int, nlay: int, *, cloud_optics=None,
 def _lanes_active() -> bool:
     """True when the Pallas lane pipeline should run (mirrors the
     use_pallas resolution in gas-optics providers)."""
-    from ..config import get_config
+    from ..config import get_config, on_tpu as _on_tpu
     cfg = get_config().use_pallas
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    on_tpu = _on_tpu()
     return on_tpu if cfg is None else cfg
 
 
@@ -136,7 +137,7 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
     w0 = int(widths[0])
     banded = bool((widths == w0).all() and w0 % 8 == 0)
 
-    interpret0 = jax.default_backend() in ("cpu", "gpu")
+    interpret0 = not _cfg_on_tpu()
     if banded and hasattr(gas_optics, "lw_fused_solve"):
         # grand fused path: gas optics + cloud increment + solve in one
         # kernel; spectral fields never touch HBM
@@ -169,7 +170,7 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
         tau, pfrac, (pb_sfc, pb_lay, pb_lev) = out
     else:
         tau, (sfc_src, lay_src, lev_src, _jac) = out
-    interpret = jax.default_backend() in ("cpu", "gpu")
+    interpret = not _cfg_on_tpu()
     cld_abs = None
     if use_clouds and cloud_optics is not None:
         cld = cloud_optics.cloud_optics_lanes(inputs.lwp, inputs.iwp,
@@ -215,7 +216,7 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
     w0 = int(widths[0])
     banded = bool((widths == w0).all() and w0 % 8 == 0)
 
-    interpret = jax.default_backend() in ("cpu", "gpu")
+    interpret = not _cfg_on_tpu()
     dtype = inputs.play.dtype
     tiny = jnp.finfo(dtype).tiny
     if banded and hasattr(gas_optics, "sw_fused_solve"):

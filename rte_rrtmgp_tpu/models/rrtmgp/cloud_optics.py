@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...config import get_config
+from ...config import get_config, on_tpu as _on_tpu
 from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
 from ...ops.pallas.minor_gather import cloud_props_lane
 from ...spectral import SpectralGrid
@@ -147,7 +147,7 @@ class CloudOpticsRRTMGP:
         icergh0 = self.icergh - 1
 
         import jax as _jax
-        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (self.liq_lane is not None and self.ice_lane is not None
                       and (on_tpu if cfg_pallas is None else cfg_pallas))

@@ -19,7 +19,7 @@ from ... import constants
 from ...gas_concs import GasConcs
 from ...optical_props import OpticalProps, OpticalProps1scl, OpticalProps2str
 from ...sources import SourcesLW
-from ...config import get_config
+from ...config import get_config, on_tpu as _on_tpu
 from ...ops.gas_optics import (InterpCoeffs, interpolation,
                                planck_bands_lanes, planck_sources,
                                planck_sources_lanes, tau_major, tau_minor,
@@ -131,7 +131,7 @@ class GasOpticsRRTMGP:
         # Pallas lane-gather kernels for the table lookups: auto on TPU
         # when the row domains fit; forced via config.
         import jax as _jax
-        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
                       and (on_tpu if cfg_pallas is None else cfg_pallas))
@@ -139,6 +139,7 @@ class GasOpticsRRTMGP:
         ntemp_k, netam1_k = kd.temp_ref.shape[0], kd.neta - 1
 
         use_major = use_pallas and kd.kmajor_lane is not None
+        poison = None
         if use_major and not isinstance(play, jax.core.Tracer):
             # eager guard of the major kernel's block pressure-window
             # assumption, from concrete pressures (pre-interpolation)
@@ -147,6 +148,16 @@ class GasOpticsRRTMGP:
                 play, press_ref_log=kd.press_ref_log,
                 press_ref_log_delta=kd.press_ref_log_delta,
                 press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+        elif use_major and not get_config().assume_pressure_window:
+            # traced guard: NaN-poison tau on violation so a silently
+            # clamped out-of-window interpolation cannot go unnoticed
+            from ...ops.gas_optics_pallas import pressure_window_violation
+            from ...ops.pallas.major_gather import PSPAN
+            poison = pressure_window_violation(
+                play, press_ref_log=kd.press_ref_log,
+                press_ref_log_delta=kd.press_ref_log_delta,
+                press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN,
+                by_layer=False)
 
         # When the major kernel runs, compute the interpolation state in
         # layer-major (nlay, ncol) layout: every per-band/per-flavor cell
@@ -175,6 +186,9 @@ class GasOpticsRRTMGP:
                 band_lims_gpt=kd.grid.band_lims_gpt_array,
                 ntab=kd.kmajor_lane_ntab, cells_lm=cells_lm, raw=raw,
                 interpret=interpret)
+            if poison is not None:
+                nan = jnp.asarray(jnp.nan, tau.dtype)
+                tau = jnp.where(poison, nan, tau)
         else:
             tau, pfrac = tau_major(
                 coeffs, kd.kmajor_x,
@@ -378,6 +392,36 @@ class GasOpticsRRTMGP:
         toa = jnp.broadcast_to(kd.solar_source[:, None], (kd.ngpt, ncol))
         return tau, ssa, toa
 
+    def _pspan_guard(self, play, *, by_layer: bool):
+        """Guard the Pallas major kernels' pressure-window assumption.
+
+        Returns False when the property fails on concrete pressures (the
+        caller must take the XLA path), None when it holds or the user
+        asserted it (config.assume_pressure_window), or a traced scalar
+        bool to NaN-poison outputs with (play is a tracer and the eager
+        check cannot run — a silent nearest-window clamp is not
+        acceptable; see ops/pallas/major_gather.py)."""
+        from ...ops.gas_optics_pallas import (pressure_window_ok_by_layer,
+                                              pressure_window_violation)
+        from ...ops.pallas.major_gather import PSPAN
+        kd = self.kdist
+        kw = dict(press_ref_log=kd.press_ref_log,
+                  press_ref_log_delta=kd.press_ref_log_delta,
+                  press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+        if not isinstance(play, jax.core.Tracer):
+            return None if pressure_window_ok_by_layer(play, **kw) else False
+        if get_config().assume_pressure_window:
+            return None
+        return pressure_window_violation(play, by_layer=by_layer, **kw)
+
+    @staticmethod
+    def _apply_poison(out, poison):
+        if out is None or poison is None:
+            return out
+        nan = jnp.asarray(jnp.nan)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.where(poison, nan.astype(x.dtype), x), out)
+
     def lw_fused_solve(self, play, plev, tlay, tsfc, gas_concs: GasConcs,
                        *, sfc_emis, inc_flux=None, tlev=None, col_dry=None,
                        cloud_tau_abs=None, ds, weight):
@@ -401,18 +445,15 @@ class GasOpticsRRTMGP:
         tsfc = jnp.asarray(tsfc, play.dtype)
 
         import jax as _jax
-        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
                       and (on_tpu if cfg_pallas is None else cfg_pallas))
         if not use_pallas or kd.kmajor_lane is None:
             return None
-        if not isinstance(play, jax.core.Tracer):
-            if not pressure_window_ok_by_layer(
-                    play, press_ref_log=kd.press_ref_log,
-                    press_ref_log_delta=kd.press_ref_log_delta,
-                    press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):
-                return None
+        poison = self._pspan_guard(play, by_layer=True)
+        if poison is False:
+            return None
 
         self._check_key_species_present(gas_concs)
         col_gas, _, idx_h2o = self._col_gas(play, plev, tlay, gas_concs,
@@ -428,11 +469,12 @@ class GasOpticsRRTMGP:
         ngpt, ncol = kd.ngpt, play.shape[0]
         inc = (inc_flux if inc_flux is not None
                else jnp.zeros((ngpt, ncol), play.dtype))
-        return lw_fused_lanes(
+        out = lw_fused_lanes(
             coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
             idx_h2o=idx_h2o, pb_lay=pb(tlay.T), pb_lev=pb(tlev_w.T),
             pb_sfc=pb(tsfc), emis=sfc_emis, inc=inc, ds=ds, weight=weight,
             cloud_tau_abs=cloud_tau_abs, interpret=not on_tpu)
+        return self._apply_poison(out, poison)
 
     def sw_fused_solve(self, play, plev, tlay, gas_concs: GasConcs, *,
                        mu0, sfc_alb_dir, sfc_alb_dif, inc_flux=None,
@@ -457,18 +499,15 @@ class GasOpticsRRTMGP:
         tlay = jnp.asarray(tlay)
 
         import jax as _jax
-        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
                       and (on_tpu if cfg_pallas is None else cfg_pallas))
         if not use_pallas or kd.kmajor_lane is None:
             return None
-        if not isinstance(play, jax.core.Tracer):
-            if not pressure_window_ok_by_layer(
-                    play, press_ref_log=kd.press_ref_log,
-                    press_ref_log_delta=kd.press_ref_log_delta,
-                    press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN):
-                return None
+        poison = self._pspan_guard(play, by_layer=True)
+        if poison is False:
+            return None
 
         self._check_key_species_present(gas_concs)
         col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
@@ -480,11 +519,12 @@ class GasOpticsRRTMGP:
         inc = (inc_flux if inc_flux is not None
                else jnp.broadcast_to(kd.solar_source[:, None], (ngpt, ncol)
                                      ).astype(play.dtype))
-        return sw_fused_lanes(
+        out = sw_fused_lanes(
             coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
             col_dry_c=col_dry_w.T, idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
             sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
             incdif=inc_flux_dif, interpret=not on_tpu)
+        return self._apply_poison(out, poison)
 
     # ------------------------------------------------------------------
     def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:

@@ -222,6 +222,40 @@ def pressure_window_ok_by_layer(play, *, press_ref_log,
     return int((grp.max(2) - grp.min(2)).max()) <= pspan - 2
 
 
+def pressure_window_violation(play, *, press_ref_log, press_ref_log_delta,
+                              press_ref_trop_log, pspan: int,
+                              by_layer: bool, dtype=None):
+    """TRACED PSPAN guard: scalar bool, True when any 128-cell lane group
+    spans a pressure-index window wider than the major kernel can resolve
+    (the kernel would silently clamp to nearest-window interpolation).
+
+    Used when ``play`` is a tracer (inside a user ``jax.jit``) where the
+    eager guards above cannot run: callers NaN-poison their outputs on
+    violation so the failure is loud, unless
+    ``config.assume_pressure_window`` asserts the property. ``by_layer``
+    selects the fused kernels' per-(layer, 128-column) grouping; False
+    selects the staged kernel's flat layer-major 128-cell blocks."""
+    import jax.numpy as jnp
+    play = jnp.asarray(play)
+    npres = int(np.asarray(press_ref_log).shape[0])
+    locpress = 1.0 + ((jnp.log(play) - float(np.asarray(press_ref_log)[0]))
+                      / float(press_ref_log_delta))
+    jpress = jnp.clip(jnp.trunc(locpress), 1.0, npres - 1).astype(jnp.int32) - 1
+    tropo = play > float(np.exp(float(press_ref_trop_log)))
+    jb = (jpress + jnp.where(tropo, 0, 1)).T          # (nlay, ncol)
+    if by_layer:
+        pad = (-jb.shape[1]) % 128
+        jb = jnp.pad(jb, ((0, 0), (0, pad)), mode="edge")
+        grp = jb.reshape(jb.shape[0], -1, 128)
+    else:
+        flat = jb.reshape(-1)
+        pad = (-flat.size) % 128
+        flat = jnp.pad(flat, (0, pad), mode="edge")
+        grp = flat.reshape(-1, 128)
+    span = jnp.max(jnp.max(grp, -1) - jnp.min(grp, -1))
+    return span > (pspan - 2)
+
+
 def pressure_window_ok_from_play(play, *, press_ref_log,
                                  press_ref_log_delta, press_ref_trop_log,
                                  pspan: int) -> bool:

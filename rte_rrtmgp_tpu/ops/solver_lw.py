@@ -250,8 +250,8 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
     if not spectral and scalar_ds and len(weights) == 1:
         # fused Pallas kernel for the single-angle broadband default
         # (auto on TPU; forced/disabled via config.use_pallas)
-        from ..config import get_config
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        from ..config import get_config, on_tpu as _on_tpu
+        on_tpu = _on_tpu()
         cfg = get_config().use_pallas
         if (on_tpu if cfg is None else cfg):
             from .pallas.solver_lw_kernel import lw_noscat_broadband_lane

@@ -139,8 +139,8 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     if not spectral:
         # fused Pallas kernel keeps every intermediate in VMEM (auto on
         # TPU; forced/disabled via config.use_pallas)
-        from ..config import get_config
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        from ..config import get_config, on_tpu as _on_tpu
+        on_tpu = _on_tpu()
         cfg = get_config().use_pallas
         if (on_tpu if cfg is None else cfg):
             from .pallas.solver_sw_kernel import sw_two_stream_broadband_lane

@@ -97,11 +97,22 @@ def shard_map_columns(fn, mesh: Mesh, ncol: int):
 
     Arrays with ``shape[0] == ncol`` get ``P(COLUMNS)``; everything else
     is replicated. Output specs are inferred the same way from a shape
-    evaluation of ``fn``.
+    evaluation of ``fn``. Only COLUMN-LEADING pytrees may be passed: the
+    heuristic cannot distinguish a (ncol, ...) array from e.g. a lane
+    layout (ngpt, ncol) one when ngpt == ncol, so any array whose leading
+    axis differs from ncol but that carries ncol in a later axis is
+    rejected — pass explicit ``in_specs``/``out_specs`` for those.
     """
     def spec_of(x, n):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
             return P(COLUMNS, *([None] * (x.ndim - 1)))
+        if hasattr(x, "ndim") and x.ndim >= 2 and n in x.shape[1:]:
+            raise ValueError(
+                f"shard_map_columns: array of shape {x.shape} is not "
+                f"column-leading but has a non-leading axis equal to "
+                f"ncol={n}; the column-sharding heuristic would silently "
+                f"replicate (or mis-shard) it. Transpose to column-leading "
+                f"or use jax.shard_map with explicit PartitionSpecs.")
         return P()
 
     def wrapper(tree):
