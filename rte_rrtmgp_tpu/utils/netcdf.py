@@ -60,7 +60,9 @@ class NCFile:
 
     def var(self, name: str) -> np.ndarray:
         if self._nc is not None:
-            arr = np.array(self._nc.variables[name][:])
+            v = self._nc.variables[name]
+            # scipy's netcdf_variable rejects [:] on dimensionless vars
+            arr = np.array(v.getValue() if v.data.ndim == 0 else v[:])
         else:
             arr = np.array(self._h5[name][...])
         # scipy's netCDF-3 reader returns big-endian arrays, which JAX
