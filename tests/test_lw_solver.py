@@ -156,3 +156,29 @@ def test_float32_accuracy():
     f = rte_lw(props, sources, np.ones((NCOL, 1), np.float32))
     olr = gray_rad_equil_olr(SFC_T, TOTAL_TAU)
     assert np.max(np.abs(np.asarray(f.flux_up[:, 0]) - olr)) < 3.5e-1
+
+
+def test_jacobian_vs_jax_grad():
+    """The hand-rolled analytic surface-temperature Jacobian (reference
+    kernels:201-213, 731-742) agrees with jax.jacfwd through the full
+    driver when the surface Planck source is parameterized by T_sfc.
+    Both are exact derivatives of the same linear transport, so they
+    must match to roundoff."""
+    import jax
+
+    props, sources = gray_rad_equil(SFC_T, TOTAL_TAU, NLAY)
+    f0 = rte_lw(props, sources, SFC_EMIS, compute_jacobian=True)
+
+    def flux_up_of_tsfc(tsfc):
+        import dataclasses
+        src = dataclasses.replace(
+            sources,
+            sfc_source=(SIGMA / np.pi * tsfc ** 4)[:, None],
+            sfc_source_jac=jnp.zeros((len(SFC_T), 1)))
+        return rte_lw(props, src, SFC_EMIS).flux_up
+
+    jac = jax.jacfwd(flux_up_of_tsfc)(jnp.asarray(SFC_T, jnp.float64))
+    # columns are independent: take the diagonal d flux_up[i,:] / d t[i]
+    diag = np.asarray(jac)[np.arange(len(SFC_T)), :, np.arange(len(SFC_T))]
+    np.testing.assert_allclose(diag, np.asarray(f0.flux_up_jac),
+                               rtol=1e-10, atol=1e-13)

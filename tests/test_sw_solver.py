@@ -140,3 +140,132 @@ def test_mu0_by_layer_spherical():
     ref = rte_sw(atmos, mu0, TOA_FLUX, ALB, ALB)
     f = rte_sw(atmos, np.full((NCOL, NLAY), 0.5), TOA_FLUX, ALB, ALB)
     np.testing.assert_array_equal(np.asarray(f.flux_up), np.asarray(ref.flux_up))
+
+
+# ---------------------------------------------------------------------------
+# Closed-form Meador-Weaver oracles (reference rte_sw_solver_unit_tests.F90
+# :36-48 intent; formulas from Meador & Weaver 1980 Eqs 14/15/25/26 in the
+# independent hyperbolic form, plus conservative/thin limits)
+# ---------------------------------------------------------------------------
+
+def _mw_hyperbolic(tau, w0, g, mu0):
+    """Meador-Weaver R/T in float64 via the hyperbolic-function form —
+    an independent evaluation path from sw_dif_and_source's e^{-k tau}
+    refactoring."""
+    tau, w0, g = (np.asarray(x, np.float64) for x in (tau, w0, g))
+    gamma1 = (8.0 - w0 * (5.0 + 3.0 * g)) / 4.0
+    gamma2 = 3.0 * w0 * (1.0 - g) / 4.0
+    gamma3 = (2.0 - 3.0 * mu0 * g) / 4.0
+    gamma4 = 1.0 - gamma3
+    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    k = np.sqrt((gamma1 - gamma2) * (gamma1 + gamma2))
+    ch, sh = np.cosh(k * tau), np.sinh(k * tau)
+    den = k * ch + gamma1 * sh
+    rdif = gamma2 * sh / den                     # MW Eq 25
+    tdif = k / den                               # MW Eq 26
+    t0 = np.exp(-tau / mu0)
+    pre = w0 / (2.0 * (1.0 - (k * mu0) ** 2) * den)
+    rdir = pre * ((1.0 - k * mu0) * (alpha2 + k * gamma3) * np.exp(k * tau)
+                  - (1.0 + k * mu0) * (alpha2 - k * gamma3) * np.exp(-k * tau)
+                  - 2.0 * k * (gamma3 - alpha2 * mu0) * t0)   # MW Eq 14
+    tdir = -pre * ((1.0 + k * mu0) * (alpha1 + k * gamma4) * t0 * np.exp(k * tau)
+                   - (1.0 - k * mu0) * (alpha1 - k * gamma4) * t0 * np.exp(-k * tau)
+                   - 2.0 * k * (gamma4 + alpha1 * mu0))       # MW Eq 15
+    # the reference spec includes the Hogan/Ukkonen energy clamps
+    # (mo_rte_solver_kernels.F90:1103-1108); MW Eq 14 can go slightly
+    # negative when gamma3 < 0 (large mu0*g)
+    rdir = np.clip(rdir, 0.0, 1.0 - t0)
+    tdir = np.clip(tdir, 0.0, 1.0 - t0 - rdir)
+    return rdif, tdif, rdir, tdir
+
+
+def _layer_rt(tau, w0, g, mu0):
+    """Single-layer rdif/tdif/rdir(source_up)/tdir(source_dn) from
+    sw_dif_and_source with unit incident direct flux."""
+    from rte_rrtmgp_tpu.ops.solver_sw import sw_dif_and_source
+
+    shape = np.broadcast(np.asarray(tau), np.asarray(w0), np.asarray(g)).shape
+    ncol = int(np.prod(shape)) or 1
+    mk = lambda x: jnp.asarray(np.broadcast_to(x, shape).reshape(ncol, 1, 1),
+                               jnp.float64)
+    mu0a = jnp.full((ncol, 1), mu0, jnp.float64)
+    inc = jnp.full((ncol, 1), 1.0 / mu0, jnp.float64)   # => dir_inc == 1
+    alb = jnp.zeros((ncol, 1), jnp.float64)
+    rdif, tdif, sdn, sup, _, fdir = sw_dif_and_source(
+        mk(tau), mk(w0), mk(g), mu0a, inc, alb)
+    r = lambda a: np.asarray(a).reshape(-1)
+    return r(rdif), r(tdif), r(sup), r(sdn)
+
+
+def test_meador_weaver_closed_form():
+    """Layer R/T against the independent hyperbolic-form evaluation over a
+    grid of (tau, ssa, g, mu0)."""
+    taus = np.array([1e-4, 1e-2, 0.1, 1.0, 5.0])
+    ssas = np.array([0.1, 0.5, 0.9, 0.999])
+    gs = np.array([0.0, 0.45, 0.85])
+    for mu0 in (1.0, 0.7, 0.3):
+        t, s, g = np.meshgrid(taus, ssas, gs, indexing="ij")
+        rdif, tdif, rdir, tdir = _layer_rt(t, s, g, mu0)
+        erdif, etdif, erdir, etdir = (x.reshape(-1) for x in
+                                      _mw_hyperbolic(t, s, g, mu0))
+        np.testing.assert_allclose(rdif, erdif, rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(tdif, etdif, rtol=1e-10, atol=1e-14)
+        # direct terms carry the Hogan/Ukkonen clamps; the analytic values
+        # here are all in the physical range so the clamps must be no-ops
+        np.testing.assert_allclose(rdir, erdir, rtol=1e-8, atol=1e-13)
+        np.testing.assert_allclose(tdir, etdir, rtol=1e-8, atol=1e-13)
+
+
+def test_meador_weaver_conservative_limit():
+    """w0 = 1: Rdif = gamma2*tau/(1+gamma1*tau), Tdif = 1/(1+gamma1*tau),
+    Rdif + Tdif = 1, and no energy is absorbed from the direct beam."""
+    tau = np.array([1e-3, 0.1, 1.0, 10.0])
+    g = 0.6
+    mu0 = 0.8
+    rdif, tdif, rdir, tdir = _layer_rt(tau, 1.0, g, mu0)
+    gamma1 = (8.0 - (5.0 + 3.0 * g)) / 4.0
+    gamma2 = 3.0 * (1.0 - g) / 4.0
+    np.testing.assert_allclose(rdif, gamma2 * tau / (1.0 + gamma1 * tau),
+                               rtol=1e-6)
+    np.testing.assert_allclose(tdif, 1.0 / (1.0 + gamma1 * tau), rtol=1e-6)
+    # k is floored at sqrt(1e4*eps), so w0=1 is conservative only
+    # to ~k^2*tau ~ 1e-11
+    np.testing.assert_allclose(rdif + tdif, 1.0, rtol=1e-9)
+    t0 = np.exp(-tau / mu0)
+    np.testing.assert_allclose(rdir + tdir + t0, 1.0, rtol=1e-6)
+
+
+def test_meador_weaver_thin_limit():
+    """First-order thin-layer limits: Rdif ~ gamma2 tau, Tdif ~ 1 - gamma1
+    tau, Rdir ~ w0 gamma3 tau/mu0, Tdir ~ w0 gamma4 tau/mu0."""
+    tau, w0, g, mu0 = 1e-5, 0.9, 0.5, 0.6
+    rdif, tdif, rdir, tdir = _layer_rt(tau, w0, g, mu0)
+    gamma1 = (8.0 - w0 * (5.0 + 3.0 * g)) / 4.0
+    gamma2 = 3.0 * w0 * (1.0 - g) / 4.0
+    gamma3 = (2.0 - 3.0 * mu0 * g) / 4.0
+    np.testing.assert_allclose(rdif, gamma2 * tau, rtol=1e-3)
+    np.testing.assert_allclose(1.0 - tdif, gamma1 * tau, rtol=1e-3)
+    np.testing.assert_allclose(rdir, w0 * gamma3 * tau / mu0, rtol=1e-3)
+    np.testing.assert_allclose(tdir, w0 * (1.0 - gamma3) * tau / mu0,
+                               rtol=1e-3)
+
+
+def test_single_layer_solver_composition():
+    """One layer + black surface: the full solver's TOA up / surface down
+    are exactly the layer Rdir / (Tdir + direct) times the incident flux."""
+    tau, w0, g, mu0v = 0.5, 0.8, 0.7, 0.9
+    rdif, tdif, rdir, tdir = _layer_rt(tau, w0, g, mu0v)
+    atmos = OpticalProps2str(
+        tau=jnp.full((1, 1, 1), tau, jnp.float64),
+        ssa=jnp.full((1, 1, 1), w0, jnp.float64),
+        g=jnp.full((1, 1, 1), g, jnp.float64), grid=GRID)
+    inc = np.full((1, 1), 123.0)
+    f = rte_sw(atmos, np.full(1, mu0v), inc, np.zeros((1, 1)),
+               np.zeros((1, 1)))
+    inc_dir = 123.0 * mu0v
+    np.testing.assert_allclose(np.asarray(f.flux_up[0, 0]),
+                               rdir[0] * inc_dir, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f.flux_dn[0, 1]),
+        (tdir[0] + np.exp(-tau / mu0v)) * inc_dir, rtol=1e-12)
