@@ -32,7 +32,7 @@ from .solver_lanes import _sw_body
 __all__ = ["sw_fused_gas_optics_solve"]
 
 
-def _fused_sw_kernel(flav_ref, desc_ref, msc_ref,
+def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref, rayl_ref,
                      ct_ref, cs_ref, cg_ref,
                      mu0_ref, albdir_ref, albdif_ref, inc_ref, incdif_ref,
@@ -57,11 +57,11 @@ def _fused_sw_kernel(flav_ref, desc_ref, msc_ref,
     # ---- per-layer gas optics: major + rayleigh lookups ----
     def build_layer(l, _):
         fp = desc_ref[0, l, :][None, :]
-        jp = desc_ref[1, l, :].astype(jnp.int32)
         tropo = desc_ref[2, l, :]
-        jp0 = jnp.min(jp)
-        jpl = jnp.clip(jp - jp0, 0, pspan - 2)
-        uniform = jnp.max(jp) == jp0
+        # precomputed per-(block, layer) pressure-window base + uniformity
+        # (see fused_lw.py: kills the per-layer cross-lane reductions)
+        jp0 = jpin_ref[0, 0, l]
+        uniform = jpin_ref[0, 1, l] != 0
 
         def fields(it):
             def sel(base):
@@ -121,6 +121,8 @@ def _fused_sw_kernel(flav_ref, desc_ref, msc_ref,
 
         @pl.when(jnp.logical_not(uniform))
         def _():
+            jp = desc_ref[1, l, :].astype(jnp.int32)
+            jpl = jnp.clip(jp - jp0, 0, pspan - 2)
             slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]
 
             def pres_of_it(it):
@@ -220,6 +222,13 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         z = jnp.zeros((1, nlay, ncol), dtype)
         cloud = (z, z, z)
 
+    desc_p = padc_e(desc)
+    jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
+    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
+    jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
+    jpmax = jnp.max(jp_blk, axis=-1).T
+    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
+
     kern = functools.partial(
         _fused_sw_kernel, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, band_g0=band_g0,
@@ -249,6 +258,8 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
             smem,
+            pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
             cb_rows(desc), cb_rows(msc),
             pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
                          lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -268,7 +279,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flav, padc_e(desc), padc(msc),
+    )(flav, jpin, desc_p, padc(msc),
       table_lane, mtab_lo, mtab_up, rayl_lane,
       padc(cloud[0]), padc(cloud[1]), padc(cloud[2]),
       padc_e(mu0), padc(sfc_alb_dir), padc(sfc_alb_dif), padc(inc),

@@ -113,7 +113,7 @@ def build_lw_kernel_inputs(ncol=4096, nlay=72, ngpt=256, nbnd=16,
                   mtab_lo=mtab_lo, mtab_up=mtab_up, pb_lay=pb_lay,
                   pb_lev=pb_lev, pb_sfc=pb_sfc, emis=emis, inc=inc,
                   cloud_tau_abs=cld_abs)
-    static = dict(ds=float(GAUSS_DS[0, 0]), weight=float(GAUSS_WTS[0, 0]),
+    static = dict(ds=float(GAUSS_DS[0][0]), weight=float(GAUSS_WTS[0][0]),
                   nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav,
                   band_minors=band_minors)
     return arrays, static
@@ -139,12 +139,20 @@ def main():
     except ImportError:
         pass
 
+    ref = None
     for name in variants:
         fn = impls[name]
         jf = jax.jit(lambda a, fn=fn: fn(
             a["flav"], a["desc"], a["msc"], a["table_lane"], a["mtab_lo"],
             a["mtab_up"], a["pb_lay"], a["pb_lev"], a["pb_sfc"], a["emis"],
             a["inc"], cloud_tau_abs=a["cloud_tau_abs"], **static))
+        out = jax.device_get(jf(arrays))
+        if name == "base":
+            ref = out
+        elif ref is not None and name.startswith("v"):
+            err = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+                      for a, b in zip(out, ref))
+            print(f"  {name}: max abs err vs base = {err:.3e}")
         t = timeit(jf, arrays, reps=5, inner=10)
         print(f"{name:30s} {t*1e3:8.3f} ms")
 

@@ -1,30 +1,14 @@
-"""The grand fused LW kernel: RRTMGP gas optics AND the no-scattering
-transport solve in ONE Pallas TPU kernel.
+"""Experimental variants of the grand fused LW kernel (perf lab).
 
-Per (column-block, band) grid step, entirely in VMEM:
-  - major-gas 3-D table interpolation per layer (the lane-gather design
-    of major_gather.py, pressure-uniform fast path included), with the
-    Planck fraction packed behind kmajor in the same gathers,
-  - minor-gas contributions for the band's g-point windows (the
-    lane-gather design of minor_gather.py, tables VMEM-resident),
-  - the by-band absorption cloud increment,
-  - Planck lay/lev/sfc sources from pfrac and per-band Planck values,
-  - the downward/upward transport recurrences,
-  - the broadband reduction, accumulated across bands.
-
-The (ngpt, nlay, ncol) spectral fields (tau, pfrac, sources) NEVER touch
-HBM — on a 4096x72 case that removes ~1.2 GB of traffic per LW step.
-Reference numerics: gas_optical_depths_major/minor + compute_Planck_source
-+ lw_solver_noscat_oneangle (rrtmgp/kernels/mo_gas_optics_rrtmgp_kernels
-.F90:345-501, :568-710; rte/kernels/mo_rte_solver_kernels.F90:51-240).
-
-Eligibility (caller falls back to the staged lane pipeline otherwise):
-uniform band width, layer-major cells, pressure window within PSPAN,
-all lane tables present.
+Each variant is a drop-in for lw_fused_gas_optics_solve; bench with
+scripts/bench_fused_variants.py. Winners get promoted into
+rte_rrtmgp_tpu/ops/pallas/fused_lw.py.
 """
-from __future__ import annotations
-
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -32,19 +16,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .major_gather import PSPAN
-from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
+from rte_rrtmgp_tpu.ops.pallas.major_gather import PSPAN
+from rte_rrtmgp_tpu.ops.pallas.minor_gather import (LANE_ROWS_MAX, _BC,
+                                                    _gather_rows)
+from rte_rrtmgp_tpu.ops.pallas.fused_lw import lw_fused_gas_optics_solve
 
-__all__ = ["lw_fused_gas_optics_solve"]
 
+# ---------------------------------------------------------------------------
+# v1: per-step flavor-select scratch — the tropo-conditional flavor rows
+# (te/fe/cm x 2 itemps) are selected ONCE per (block, band) step into a
+# scratch, vectorized over all layers; the hot layer loop then reads
+# static rows only (no dynamic sublane indexing, no per-layer selects).
+# v2: per-(block, layer) jp0/uniform precomputed OUTSIDE the kernel into
+# an SMEM table — kills the per-layer cross-lane min/max reductions.
+# ---------------------------------------------------------------------------
 
-def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
-                     tab_ref, mtab_lo_ref, mtab_up_ref,
-                     pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
-                     up_ref, dn_ref,
-                     tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
-                     nlay, w, pspan, band_minors, ncont_lo, nflav,
-                     with_cloud):
+def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
+               tab_ref, mtab_lo_ref, mtab_up_ref,
+               pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
+               up_ref, dn_ref,
+               tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, sel_s, *,
+               nlay, w, pspan, band_minors, ncont_lo, nflav,
+               with_cloud, use_jpin, use_sel):
     b = pl.program_id(1)
     dtype = tau_s.dtype
     eps = np.finfo(np.float32).eps
@@ -52,27 +45,37 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
     ds = dsw_ref[0]
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
-    ntw = 2 * w     # [tau rows, planck rows] payload
-    # desc rows: [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
-    # cm(2*nflav), tr(2*nflav)] — flavor rows selected at runtime via the
-    # SMEM band->flavor table; tr is the minor-domain row index
-    # (jt+it)*(neta-1)+jeta, which the minor windows read directly
+    ntw = 2 * w
     TE0, FE0, CM0 = 5, 5 + 2 * nflav, 5 + 4 * nflav
     TR0 = 5 + 6 * nflav
     flo = flav_ref[2 * b]
     fhi = flav_ref[2 * b + 1]
 
-    # ---- per-layer gas optics: major (+pfrac) lookups ----
+    if use_sel:
+        tropo3 = desc_ref[2, :, :][None, :, :] > 0.5
+        for k, base in ((0, TE0), (2, FE0), (4, CM0)):
+            lo = desc_ref[pl.ds(base + 2 * flo, 2), :, :]
+            hi = desc_ref[pl.ds(base + 2 * fhi, 2), :, :]
+            sel_s[k:k + 2, :, :] = jnp.where(tropo3, lo, hi)
+
     def build_layer(l, _):
         fp = desc_ref[0, l, :][None, :]
-        tropo = desc_ref[2, l, :]
-        # per-(block, layer) pressure-window base + uniformity, precomputed
-        # outside the kernel into SMEM (saves ~30% of the kernel: the
-        # per-layer cross-lane min/max reductions dominated the layer loop)
-        jp0 = jpin_ref[0, 0, l]
-        uniform = jpin_ref[0, 1, l] != 0
+        if use_jpin:
+            jp0 = jpin_ref[0, 0, l]
+            uniform = jpin_ref[0, 1, l] != 0
+        else:
+            jp = desc_ref[1, l, :].astype(jnp.int32)
+            jp0 = jnp.min(jp)
+            uniform = jnp.max(jp) == jp0
 
         def fields(it):
+            if use_sel:
+                return (sel_s[0 + it, l, :].astype(jnp.int32),
+                        sel_s[2 + it, l, :][None, :],
+                        sel_s[4 + it, l, :][None, :],
+                        desc_ref[3 + it, l, :][None, :])
+            tropo = desc_ref[2, l, :]
+
             def sel(base):
                 return jnp.where(tropo > 0.5,
                                  desc_ref[base + 2 * flo + it, l, :],
@@ -129,9 +132,6 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
     jax.lax.fori_loop(0, nlay, build_layer, 0)
 
-    # minor gases: each band's (statically clipped) g-point windows — one
-    # predicated layer loop per band, so the hot major loop above stays
-    # branch-free
     for bi, members in enumerate(band_minors):
         if not members:
             continue
@@ -161,12 +161,10 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
             jax.lax.fori_loop(0, nlay, minor_layer, 0)
 
-    # ---- cloud increment (absorption-only, by band) ----
     tau = tau_s[:, :, :]
     if with_cloud:
         tau = tau + cld_ref[0, :, :][None, :, :]
 
-    # ---- Planck sources from pfrac + band Planck values ----
     pf = pf_s[:, :, :]
     pb_lay = pbl_ref[0, :, :][None, :, :]
     pb_lev = pbv_ref[0, :, :][None, :, :]
@@ -177,10 +175,9 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     lev_bot = jnp.concatenate([pf_in, pf[:, -1:, :]], axis=1) \
         * pb_lev[:, 1:, :]
 
-    # ---- transport (reference :51-240, :620-745) ----
     tl = tau * ds
     trans = jnp.exp(-tl)
-    tau_s[:, :, :] = trans                 # reuse as the trans scratch
+    tau_s[:, :, :] = trans
     fact_big = (1.0 - trans) / jnp.maximum(tl, tiny) - trans
     fact_small = tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125))
     fact = jnp.where(tl > tau_thresh, fact_big, fact_small)
@@ -222,22 +219,14 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         dn_ref[:, :] += bb_dn
 
 
-def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
-                              mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
-                              emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
-                              nflav, band_minors, cloud_tau_abs=None,
-                              interpret: bool = False):
-    """Run the fused gas-optics + LW solve. All per-cell descriptor arrays
-    arrive reshaped (rows, nlay, ncol) layer-major; see the builder in
-    ops/gas_optics_pallas.lw_fused_lanes for their exact contents.
-    flav: (2*nbnd,) int32 per-band (flavor_lower, flavor_upper) SMEM table.
-    Returns (flux_up, flux_dn), each (nlay+1, ncol), top at index 0."""
+def _solve_v(flav, desc, msc, table_lane,
+             mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
+             emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
+             nflav, band_minors, cloud_tau_abs=None,
+             interpret: bool = False, use_jpin=True, use_sel=True):
     dtype = desc.dtype
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
-    # edge-pad the descriptor columns: padded lanes share a 128-lane group
-    # with real cells, and a zero-padded jp row would blow the pressure
-    # window for the real lanes
     padc_e = lambda x: (x if pc == 0 else jnp.pad(
         x, [(0, 0)] * (x.ndim - 1) + [(0, pc)], mode="edge"))
     ncol_p = ncol + pc
@@ -249,9 +238,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                      jnp.asarray(weight, dtype).reshape(())])
 
     desc_p = padc_e(desc)
-    # per-(column-block, layer) pressure-window base index + uniform flag,
-    # precomputed here (cheap in XLA) so the kernel's layer loop does no
-    # cross-lane reductions
+    # per-(block, layer) pressure-window info: jp0 and the uniform flag
     jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
     jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
     jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
@@ -259,9 +246,10 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
 
     kern = functools.partial(
-        _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,
+        _kernel_v3, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, ncont_lo=mtab_lo.shape[0] // 2,
-        nflav=nflav, with_cloud=with_cloud)
+        nflav=nflav, with_cloud=with_cloud, use_jpin=use_jpin,
+        use_sel=use_sel)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -300,10 +288,8 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         out_specs=[obb, obb],
         out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 2,
         scratch_shapes=[scr(nlay), scr(nlay), scr(nlay), scr(nlay),
-                        scr(nlev), scr(nlev)],
-        # the per-column-block descriptor blocks (minor idx/weights/
-        # scaling) are large and double-buffered; the default 16 MB
-        # scoped-vmem budget is too small (physical VMEM is 128 MB)
+                        scr(nlev), scr(nlev),
+                        pltpu.VMEM((6, nlay, _BC), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -311,3 +297,14 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
       table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
     return up[:, :ncol], dn[:, :ncol]
+
+
+VARIANTS = {
+    "v_sel": functools.partial(_solve_v, use_jpin=False, use_sel=True),
+    "v_jpin": functools.partial(_solve_v, use_jpin=True, use_sel=False),
+    "v_both": functools.partial(_solve_v, use_jpin=True, use_sel=True),
+    "nominors": lambda *a, **k: lw_fused_gas_optics_solve(
+        *a, **{**k, "band_minors": ((),) * k["nbnd"]}),
+    "nocloud": lambda *a, **k: lw_fused_gas_optics_solve(
+        *a, **{**k, "cloud_tau_abs": None}),
+}
