@@ -120,12 +120,58 @@ def _expand_bands(x, band_lims_gpt):
                       total_repeat_length=int(lims[-1, 1]))
 
 
+def _aerosol_abs_lanes(inputs: AllSkyInputs, aerosol_optics):
+    """By-band absorption-only aerosol increment in lane layout
+    (nbnd, nlay, ncol) (reference aerosols%increment on the 1scl LW path,
+    rrtmgp_allsky.F90:375)."""
+    at, ats, _ = aerosol_optics.aerosol_optics_lanes(
+        inputs.aero_type, inputs.aero_size, inputs.aero_mass, inputs.relhum)
+    return at - ats
+
+
+def _delta_scaled_band(t, ts, tsg, dtype):
+    """(tau, tau*ssa, tau*ssa*g) by band -> delta-Eddington-scaled
+    (tau, ssa, g) (identical formulas to optical_props.delta_scale with
+    f = g^2, applied at band resolution)."""
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+    one = jnp.asarray(1.0, dtype)
+    g = tsg / jnp.maximum(eps, ts)
+    ssa = ts / jnp.maximum(eps, t)
+    f = g * g
+    wf = ssa * f
+    return ((one - wf) * t,
+            jnp.where(wf < one, (ssa - wf) / jnp.maximum(one - wf, tiny), 0.0),
+            jnp.where(f < one, (g - f) / jnp.maximum(one - f, tiny), 0.0))
+
+
+def _combine_band_2str(a, b, dtype):
+    """Combine two by-band (tau, ssa, g) increments into one (the
+    tau-weighted averaging of increment_2stream_by_2stream is associative,
+    so incrementing gas optics with the combination equals sequential
+    increments; reference rrtmgp_allsky.F90:394-399)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    tiny = jnp.finfo(dtype).tiny
+    t = a[0] + b[0]
+    tauscat = a[0] * a[1] + b[0] * b[1]
+    g = (a[0] * a[1] * a[2] + b[0] * b[1] * b[2]) / jnp.maximum(tauscat, tiny)
+    ssa = tauscat / jnp.maximum(t, tiny)
+    return (t, jnp.where(t > 2.0 * tiny, ssa, 0.0),
+            jnp.where(tauscat > 2.0 * tiny, g, 0.0))
+
+
 def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
-                         cloud_optics=None, use_clouds=True) -> Optional[Fluxes]:
-    """Fused lane-layout LW step: gas optics, cloud increment, and the
-    no-scattering solve all in the gathers' native (ngpt, nlay, ncol)
-    layout (see ops/pallas/solver_lanes.py). Returns None when the lane
-    pipeline is unavailable and the caller must take the generic path."""
+                         cloud_optics=None, use_clouds=True,
+                         aerosol_optics=None,
+                         use_aerosols=False) -> Optional[Fluxes]:
+    """Fused lane-layout LW step: gas optics, cloud + aerosol increments,
+    and the no-scattering solve all in the gathers' native
+    (ngpt, nlay, ncol) layout (see ops/pallas/solver_lanes.py). Returns
+    None when the lane pipeline is unavailable and the caller must take
+    the generic path."""
     from ..ops.pallas.solver_lanes import (lw_noscat_broadband_lanes,
                                            lw_noscat_broadband_lanes_pfrac)
     from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
@@ -149,6 +195,10 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
             if cld0 is None:
                 return None
             cld_abs0 = cld0[0] - cld0[1]
+        if use_aerosols and aerosol_optics is not None:
+            aer_abs0 = _aerosol_abs_lanes(inputs, aerosol_optics)
+            cld_abs0 = (aer_abs0 if cld_abs0 is None
+                        else cld_abs0 + aer_abs0)
         ncol0 = inputs.play.shape[0]
         emis0 = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :],
                                  (gas_optics.ngpt, ncol0))
@@ -183,9 +233,12 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
         # (increment_1scalar_by_2stream + _bybnd expansion); the banded
         # mega-kernel adds it in-kernel instead
         cld_abs = ct - cts
-        if not banded:
-            tau = tau + _expand_bands(cld_abs,
-                                      gas_optics.grid.band_lims_gpt_array)
+    if use_aerosols and aerosol_optics is not None:
+        aer_abs = _aerosol_abs_lanes(inputs, aerosol_optics)
+        cld_abs = aer_abs if cld_abs is None else cld_abs + aer_abs
+    if cld_abs is not None and not banded:
+        tau = tau + _expand_bands(cld_abs,
+                                  gas_optics.grid.band_lims_gpt_array)
     ngpt, _, ncol = tau.shape
     emis = jnp.broadcast_to(inputs.sfc_emis[:, 0][None, :], (ngpt, ncol))
     inc = jnp.zeros((ngpt, ncol), tau.dtype)
@@ -203,9 +256,11 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
 
 
 def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
-                         cloud_optics=None, use_clouds=True) -> Optional[Fluxes]:
+                         cloud_optics=None, use_clouds=True,
+                         aerosol_optics=None,
+                         use_aerosols=False) -> Optional[Fluxes]:
     """Fused lane-layout SW step: gas optics + Rayleigh, delta-scaled
-    cloud increment, and the two-stream solve in lane layout."""
+    cloud + aerosol increments, and the two-stream solve in lane layout."""
     from ..ops.pallas.solver_lanes import (
         sw_two_stream_broadband_lanes, sw_two_stream_broadband_lanes_combined)
 
@@ -229,18 +284,13 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
                 interpret=interpret)
             if cld0 is None:
                 return None
-            ct, cts, ctsg = cld0
-            eps = jnp.finfo(dtype).eps
-            cg = ctsg / jnp.maximum(eps, cts)
-            cssa = cts / jnp.maximum(eps, ct)
-            one = jnp.asarray(1.0, dtype)
-            f = cg * cg
-            wf = cssa * f
-            cld_b = ((one - wf) * ct,
-                     jnp.where(wf < one, (cssa - wf)
-                               / jnp.maximum(one - wf, tiny), 0.0),
-                     jnp.where(f < one, (cg - f)
-                               / jnp.maximum(one - f, tiny), 0.0))
+            cld_b = _delta_scaled_band(*cld0, dtype)
+        if use_aerosols and aerosol_optics is not None:
+            aer0 = aerosol_optics.aerosol_optics_lanes(
+                inputs.aero_type, inputs.aero_size, inputs.aero_mass,
+                inputs.relhum)
+            cld_b = _combine_band_2str(cld_b, _delta_scaled_band(*aer0, dtype),
+                                       dtype)
         ncol0 = inputs.play.shape[0]
         nlay0 = inputs.play.shape[1]
         mu0_0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
@@ -268,20 +318,14 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
                                               interpret=interpret)
         if cld is None:
             return None
-        ct, cts, ctsg = cld
-        eps = jnp.finfo(dtype).eps
-        cg = ctsg / jnp.maximum(eps, cts)
-        cssa = cts / jnp.maximum(eps, ct)
-        # delta-Eddington scale (f = g^2) — identical formulas to
-        # optical_props.delta_scale, applied at band resolution
-        one = jnp.asarray(1.0, dtype)
-        f = cg * cg
-        wf = cssa * f
-        ct_d = (one - wf) * ct
-        cssa_d = jnp.where(wf < one, (cssa - wf)
-                           / jnp.maximum(one - wf, tiny), 0.0)
-        cg_d = jnp.where(f < one, (cg - f) / jnp.maximum(one - f, tiny), 0.0)
-        cld_banded = (ct_d, cssa_d, cg_d)
+        cld_banded = _delta_scaled_band(*cld, dtype)
+    if use_aerosols and aerosol_optics is not None:
+        aer = aerosol_optics.aerosol_optics_lanes(
+            inputs.aero_type, inputs.aero_size, inputs.aero_mass,
+            inputs.relhum)
+        cld_banded = _combine_band_2str(cld_banded,
+                                        _delta_scaled_band(*aer, dtype),
+                                        dtype)
     ngpt, nlay, ncol = tau.shape
     mu0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
                            (nlay, ncol))
@@ -321,12 +365,15 @@ def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
     """One LW all-sky step (reference timed loop :368-380): cloud optics
     (absorption-only), aerosol optics, gas optics + Planck sources,
     increments, rescaled no-scattering solve with broadband output."""
-    if (not use_aerosols and _lanes_active()
+    if (_lanes_active()
             and (cloud_optics is not None or not use_clouds)
+            and (aerosol_optics is not None or not use_aerosols)
             and hasattr(gas_optics, "gas_optics_lw_lanes")):
         fused = allsky_step_lw_lanes(inputs, gas_optics,
                                      cloud_optics=cloud_optics,
-                                     use_clouds=use_clouds)
+                                     use_clouds=use_clouds,
+                                     aerosol_optics=aerosol_optics,
+                                     use_aerosols=use_aerosols)
         if fused is not None:
             return fused
     props, sources = gas_optics.gas_optics_lw(
@@ -355,12 +402,15 @@ def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                    use_aerosols=False) -> Fluxes:
     """One SW all-sky step (reference :388-404): two-stream clouds are
     delta-scaled before incrementing the gas optics."""
-    if (not use_aerosols and _lanes_active()
+    if (_lanes_active()
             and (cloud_optics is not None or not use_clouds)
+            and (aerosol_optics is not None or not use_aerosols)
             and hasattr(gas_optics, "gas_optics_sw_lanes")):
         fused = allsky_step_sw_lanes(inputs, gas_optics,
                                      cloud_optics=cloud_optics,
-                                     use_clouds=use_clouds)
+                                     use_clouds=use_clouds,
+                                     aerosol_optics=aerosol_optics,
+                                     use_aerosols=use_aerosols)
         if fused is not None:
             return fused
     props, toa = gas_optics.gas_optics_sw(

@@ -95,6 +95,29 @@ class AerosolOpticsMERRA:
         """Aerosol optical properties by band (reference aerosol_optics
         :233-430). aero_type: (ncol, nlay) int codes; aero_size [microns];
         aero_mass [kg/m2]; relhum in [0, 1]."""
+        tau, taussa, taussag = self._tau_triplet(aero_type, aero_size,
+                                                 aero_mass, relhum)
+        if not scattering:
+            return OpticalProps1scl(tau=tau - taussa, grid=self.grid,
+                                    top_at_1=top_at_1)
+        eps = jnp.finfo(tau.dtype).eps
+        return OpticalProps2str(
+            tau=tau,
+            ssa=taussa / jnp.maximum(eps, tau),
+            g=taussag / jnp.maximum(eps, taussa),
+            grid=self.grid, top_at_1=top_at_1)
+
+    def aerosol_optics_lanes(self, aero_type, aero_size, aero_mass, relhum):
+        """(tau, tau*ssa, tau*ssa*g) BY BAND in lane layout
+        (nbnd, nlay, ncol) — the same contract as
+        CloudOpticsRRTMGP.cloud_optics_lanes, for the fused pipeline."""
+        tau, taussa, taussag = self._tau_triplet(aero_type, aero_size,
+                                                 aero_mass, relhum)
+        lane = lambda x: jnp.transpose(x, (2, 1, 0))
+        return lane(tau), lane(taussa), lane(taussag)
+
+    def _tau_triplet(self, aero_type, aero_size, aero_mass, relhum):
+        """(tau, tau*ssa, tau*ssa*g), each (ncol, nlay, nbnd)."""
         atype = jnp.asarray(aero_type, jnp.int32)
         size = jnp.asarray(aero_size)
         mass = jnp.asarray(aero_mass, size.dtype)
@@ -166,15 +189,7 @@ class AerosolOpticsMERRA:
         tau = mass[..., None] * ext
         taussa = tau * ssa
         taussag = taussa * g
-        if not scattering:
-            return OpticalProps1scl(tau=tau - taussa, grid=self.grid,
-                                    top_at_1=top_at_1)
-        eps = jnp.finfo(dtype).eps
-        return OpticalProps2str(
-            tau=tau,
-            ssa=taussa / jnp.maximum(eps, tau),
-            g=taussag / jnp.maximum(eps, taussa),
-            grid=self.grid, top_at_1=top_at_1)
+        return tau, taussa, taussag
 
 
 def get_relhum(play, tlay, vmr_h2o):

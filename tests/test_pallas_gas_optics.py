@@ -232,21 +232,26 @@ def test_pallas_lw_solver_matches_xla(rescale, top_at_1):
 
 
 @pytest.mark.parametrize("sw", [False, True])
-@pytest.mark.parametrize("clouds", [False, True])
-def test_fused_lane_step_matches_generic(sw, clouds):
-    """The fused lane-layout all-sky step (gas optics -> cloud increment
-    -> solver, all in (ngpt, nlay, ncol) layout) must match the generic
-    OpticalProps pipeline."""
+@pytest.mark.parametrize("clouds,aerosols", [(False, False), (True, False),
+                                             (True, True), (False, True)])
+def test_fused_lane_step_matches_generic(sw, clouds, aerosols):
+    """The fused lane-layout all-sky step (gas optics -> cloud + aerosol
+    increments -> solver, all in (ngpt, nlay, ncol) layout) must match the
+    generic OpticalProps pipeline (reference timed loop includes aerosols,
+    rrtmgp_allsky.F90:352-355, 375, 394-399)."""
     from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw,
                                                allsky_step_lw_lanes,
                                                allsky_step_sw,
                                                allsky_step_sw_lanes)
-    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+    from rte_rrtmgp_tpu.utils.synthetic import (synthetic_aerosol_optics,
+                                                synthetic_cloud_optics)
 
     kd = synthetic_kdist(sw=sw, ngpt=32, nbnd=4, ntemp=6, npres=12)
     gop = GasOpticsRRTMGP(kd)
     cld = synthetic_cloud_optics(nbnd=4,
                                  band_lims_wvn=kd.grid.band_lims_wvn_array)
+    aer = synthetic_aerosol_optics(
+        nbnd=4, band_lims_wvn=kd.grid.band_lims_wvn_array)
     # 128 columns: each layer-major 128-cell block sits in one layer, so
     # the major kernel's pressure-window guard passes and the full lane
     # pipeline (major + minors + rayleigh + solver) is exercised
@@ -254,7 +259,9 @@ def test_fused_lane_step_matches_generic(sw, clouds):
 
     step = allsky_step_sw if sw else allsky_step_lw
     fused_fn = allsky_step_sw_lanes if sw else allsky_step_lw_lanes
-    kw = dict(cloud_optics=cld if clouds else None, use_clouds=clouds)
+    kw = dict(cloud_optics=cld if clouds else None, use_clouds=clouds,
+              aerosol_optics=aer if aerosols else None,
+              use_aerosols=aerosols)
 
     set_use_pallas(False)
     ref = step(inputs, gop, **kw)
@@ -266,7 +273,8 @@ def test_fused_lane_step_matches_generic(sw, clouds):
         a = np.asarray(getattr(fused, name))
         b = np.asarray(getattr(ref, name))
         np.testing.assert_allclose(a, b, rtol=3e-5, atol=5e-4,
-                                   err_msg=f"{name} sw={sw} clouds={clouds}")
+                                   err_msg=f"{name} sw={sw} clouds={clouds} "
+                                           f"aerosols={aerosols}")
 
 
 def test_fused_rfmip_matches_generic():
@@ -289,3 +297,35 @@ def test_fused_rfmip_matches_generic():
     for name, a, b in (("rlu", up, upr), ("rld", dn, dnr),
                        ("rsu", su, sur), ("rsd", sd, sdr)):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-4, err_msg=name)
+
+
+def test_pallas_lw_multiangle_and_lwds_match_xla():
+    """Multi-angle (n_gauss_angles 2-4) and per-gpt lw_Ds secants stay on
+    the Pallas path (reference mo_rte_lw.F90:341-366) and match the XLA
+    solve."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gray_atmosphere import gray_rad_equil
+    from rte_rrtmgp_tpu import rte_lw
+
+    ncol, nlay = 8, 10
+    tsfc = np.linspace(270.0, 310.0, ncol)
+    taus = np.linspace(0.2, 20.0, ncol)
+    props, src = gray_rad_equil(tsfc, taus, nlay)
+    emis = jnp.full((ncol, 1), 0.96, jnp.float64)
+
+    cases = [dict(n_gauss_angles=n) for n in (1, 2, 3, 4)]
+    rng = np.random.default_rng(2)
+    cases.append(dict(lw_ds=jnp.asarray(
+        rng.uniform(1.5, 1.8, (ncol, 1)), jnp.float64)))
+
+    for kw in cases:
+        set_use_pallas(False)
+        ref = rte_lw(props, src, emis, compute_jacobian=True, **kw)
+        set_use_pallas(True)
+        out = rte_lw(props, src, emis, compute_jacobian=True, **kw)
+        for name in ("flux_up", "flux_dn", "flux_up_jac"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=1e-10, atol=1e-12,
+                err_msg=f"{name} {kw.keys()}")
