@@ -149,15 +149,24 @@ class GasOpticsRRTMGP:
                 press_ref_log_delta=kd.press_ref_log_delta,
                 press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
         elif use_major and not get_config().assume_pressure_window:
-            # traced guard: NaN-poison tau on violation so a silently
-            # clamped out-of-window interpolation cannot go unnoticed
-            from ...ops.gas_optics_pallas import pressure_window_violation
-            from ...ops.pallas.major_gather import PSPAN
-            poison = pressure_window_violation(
-                play, press_ref_log=kd.press_ref_log,
-                press_ref_log_delta=kd.press_ref_log_delta,
-                press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN,
-                by_layer=False)
+            if play.shape[0] % 128 == 0:
+                # traced guard: blocks are layer-aligned (128-cell blocks
+                # of a layer-major flat cell axis sit inside one layer),
+                # so the per-layer window property is the block property.
+                # NaN-poison tau on violation so a silently clamped
+                # out-of-window interpolation cannot go unnoticed.
+                from ...ops.gas_optics_pallas import pressure_window_violation
+                from ...ops.pallas.major_gather import PSPAN
+                poison = pressure_window_violation(
+                    play, press_ref_log=kd.press_ref_log,
+                    press_ref_log_delta=kd.press_ref_log_delta,
+                    press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN,
+                    by_layer=True)
+            else:
+                # traced AND blocks would span layers: the window property
+                # depends on the shape, not the data — a benign user shape
+                # (e.g. ncol=32 under jit) would poison. Take the XLA path.
+                use_major = False
 
         # When the major kernel runs, compute the interpolation state in
         # layer-major (nlay, ncol) layout: every per-band/per-flavor cell

@@ -95,8 +95,9 @@ def interpolation(play, tlay, col_gas, *,
         (tlay - (temp_ref_min - temp_ref_delta)) / temp_ref_delta)
     jt_raw = jnp.floor(loctemp).astype(jnp.int32)               # 1-based raw
     jtemp1 = jnp.clip(jt_raw, 1, ntemp - 1)                     # 1-based clamped
-    temp_ref_j = jnp.take(jnp.asarray(temp_ref, dtype),
-                          jnp.clip(jt_raw - 1, 0, ntemp - 1))   # temp_ref(jtemp_)
+    # ftemp anchors at the CLAMPED node (reference :106-108) so
+    # above-table temperatures extrapolate from the same corner pair
+    temp_ref_j = jnp.take(jnp.asarray(temp_ref, dtype), jtemp1 - 1)
     ftemp = (tlay - temp_ref_j) / temp_ref_delta
     jtemp = jtemp1 - 1                                          # 0-based
 
