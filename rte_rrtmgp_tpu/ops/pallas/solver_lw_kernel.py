@@ -30,16 +30,19 @@ _BGPT = 128
 
 
 def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
-               ssrc_ref, sjac_ref, inc_ref,
+               ssrc_ref, sjac_ref, inc_ref, dsf_ref,
                up_ref, dn_ref, jac_ref,
                trans_s, sdn_s, sup_s, an_s, cn_s, rdn_s, rup_s, jacw_s, *,
-               nlay, do_rescaling, do_jacobians):
+               nlay, do_rescaling, do_jacobians, ds_per_gpt,
+               band_width=None):
     gb = pl.program_id(1)
     dtype = tau_ref.dtype
     eps = np.finfo(np.float32).eps
     tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
     tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
-    ds = dsw_ref[0]
+    # per-(col, gpt) user secants (rte_lw(lw_ds=...), reference
+    # mo_rte_lw.F90:344-366) or the scalar quadrature secant
+    ds = dsf_ref[:, :][:, None, :] if ds_per_gpt else dsw_ref[0]
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
 
     tl = tau_ref[:, :, :] * ds
@@ -110,19 +113,32 @@ def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
 
         jax.lax.fori_loop(0, nlay, down2, 0)
 
-    bb_up = piw * jnp.sum(rup_s[:, :, :], axis=-1)
-    bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=-1)
+    if band_width is not None:
+        # per-band sums: this g-point block owns its own nb-band output
+        # slice, no cross-block accumulation (reference sum_byband,
+        # rte/extensions/mo_fluxes_byband.F90:159-190, fused in-solver)
+        nb = rup_s.shape[-1] // band_width
+        bcol, nlev = rup_s.shape[0], rup_s.shape[1]
+        grouped = lambda s: piw * jnp.sum(
+            s[:, :, :].reshape(bcol, nlev, nb, band_width), axis=-1)
+        up_ref[:, :, :] = grouped(rup_s)
+        dn_ref[:, :, :] = grouped(rdn_s)
+    else:
+        bb_up = piw * jnp.sum(rup_s[:, :, :], axis=-1)
+        bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=-1)
 
-    @pl.when(gb == 0)
-    def _():
-        up_ref[:, :] = bb_up
-        dn_ref[:, :] = bb_dn
+        @pl.when(gb == 0)
+        def _():
+            up_ref[:, :] = bb_up
+            dn_ref[:, :] = bb_dn
 
-    @pl.when(gb != 0)
-    def _():
-        up_ref[:, :] += bb_up
-        dn_ref[:, :] += bb_dn
+        @pl.when(gb != 0)
+        def _():
+            up_ref[:, :] += bb_up
+            dn_ref[:, :] += bb_dn
 
+    # the surface-T Jacobian stays broadband in every mode (the reference
+    # Jacobian is broadband-only, mo_rte_lw.F90:290-322)
     if do_jacobians:
         bb_jac = piw * jnp.sum(jacw_s[:, :, :], axis=-1)
 
@@ -144,10 +160,16 @@ def lw_noscat_broadband_lane(tau, lay_source, lev_source, sfc_emis, sfc_src,
                              ssa=None, g=None, sfc_src_jac=None,
                              do_rescaling: bool = False,
                              do_jacobians: bool = False,
+                             band_width=None,
                              interpret: bool = False):
     """Broadband single-angle LW fluxes (flux_up, flux_dn, flux_up_jac),
     (ncol, nlay+1) each. Inputs top-at-index-0; ds is the scalar secant
-    and weight the quadrature weight (python floats or traced scalars)."""
+    (python float or traced scalar) OR a per-(ncol, ngpt) secant field
+    (the lw_Ds path); weight is the quadrature weight.
+
+    With ``band_width`` (uniform band width dividing 128 that tiles
+    ngpt), flux_up/flux_dn become per-band sums (ncol, nlay+1, nbnd)
+    accumulated in-kernel; the Jacobian stays broadband."""
     ncol, nlay, ngpt = tau.shape
     dtype = tau.dtype
     pc = (-ncol) % _BCOL
@@ -159,22 +181,34 @@ def lw_noscat_broadband_lane(tau, lay_source, lev_source, sfc_emis, sfc_src,
     def pad2(x):
         return jnp.pad(x, ((0, pc), (0, pg)))
 
+    ds_arr = jnp.asarray(ds, dtype)
+    ds_per_gpt = ds_arr.ndim == 2
     zero3 = jnp.zeros_like(tau)
     zero2 = jnp.zeros((ncol, ngpt), dtype)
-    dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
+    dsw = jnp.stack([(jnp.zeros((), dtype) if ds_per_gpt
+                      else ds_arr.reshape(())),
                      jnp.asarray(weight, dtype).reshape(())])
     args = (dsw, pad3(tau), pad3(ssa if ssa is not None else zero3),
             pad3(g if g is not None else zero3),
             pad3(lay_source), pad3(lev_source),
             pad2(sfc_emis), pad2(sfc_src),
             pad2(sfc_src_jac if sfc_src_jac is not None else zero2),
-            pad2(inc_flux))
+            pad2(inc_flux),
+            pad2(ds_arr if ds_per_gpt else zero2))
     ncol_p, ngpt_p = ncol + pc, ngpt + pg
     nlev = nlay + 1
 
+    if band_width is not None and (band_width <= 0
+                                   or _BGPT % band_width != 0
+                                   or ngpt % band_width != 0):
+        raise ValueError(f"band_width {band_width} must divide {_BGPT} "
+                         f"and tile ngpt {ngpt}")
+
     kern = functools.partial(_lw_kernel, nlay=nlay,
                              do_rescaling=do_rescaling,
-                             do_jacobians=do_jacobians)
+                             do_jacobians=do_jacobians,
+                             ds_per_gpt=ds_per_gpt,
+                             band_width=band_width)
     v3 = lambda nl: pl.BlockSpec((_BCOL, nl, _BGPT), lambda c, b: (c, 0, b),
                                  memory_space=pltpu.VMEM)
     v2 = pl.BlockSpec((_BCOL, _BGPT), lambda c, b: (c, b),
@@ -184,16 +218,33 @@ def lw_noscat_broadband_lane(tau, lay_source, lev_source, sfc_emis, sfc_src,
                        memory_space=pltpu.VMEM)
     scratch3 = lambda nl: pltpu.VMEM((_BCOL, nl, _BGPT), dtype)
 
+    if band_width is None:
+        flux_specs = [obb, obb]
+        flux_shapes = [jax.ShapeDtypeStruct((ncol_p, nlev), dtype)] * 2
+    else:
+        nbpb = _BGPT // band_width          # bands per g-point block
+        nbnd_p = ngpt_p // band_width
+        oby = pl.BlockSpec((_BCOL, nlev, nbpb), lambda c, b: (c, 0, b),
+                           memory_space=pltpu.VMEM)
+        flux_specs = [oby, oby]
+        flux_shapes = [jax.ShapeDtypeStruct((ncol_p, nlev, nbnd_p),
+                                            dtype)] * 2
+
     up, dn, jac = pl.pallas_call(
         kern,
         grid=(ncol_p // _BCOL, ngpt_p // _BGPT),
         in_specs=[smem, v3(nlay), v3(nlay), v3(nlay), v3(nlay), v3(nlev),
-                  v2, v2, v2, v2],
-        out_specs=[obb, obb, obb],
-        out_shape=[jax.ShapeDtypeStruct((ncol_p, nlev), dtype)] * 3,
+                  v2, v2, v2, v2, v2],
+        out_specs=flux_specs + [obb],
+        out_shape=flux_shapes + [jax.ShapeDtypeStruct((ncol_p, nlev), dtype)],
         scratch_shapes=[scratch3(nlay), scratch3(nlay), scratch3(nlay),
                         scratch3(nlay), scratch3(nlay),
                         scratch3(nlev), scratch3(nlev), scratch3(nlev)],
         interpret=interpret,
     )(*args)
-    return (up[:ncol], dn[:ncol], jac[:ncol] if do_jacobians else None)
+    if band_width is not None:
+        nbnd = ngpt // band_width
+        up, dn = up[:ncol, :, :nbnd], dn[:ncol, :, :nbnd]
+    else:
+        up, dn = up[:ncol], dn[:ncol]
+    return (up, dn, jac[:ncol] if do_jacobians else None)

@@ -37,7 +37,8 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
                inc_ref, incdif_ref,
                up_ref, dn_ref, dir_ref,
                dirlev, sdn_s, sup_s, rdif_s, tdif_s,
-               alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay):
+               alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay,
+               band_width=None):
     gb = pl.program_id(1)
     dtype = tau_ref.dtype
     eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
@@ -130,30 +131,45 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
 
     jax.lax.fori_loop(0, nlay, dn_sweep, 0)
 
-    # broadband reduction over the g-point lanes; accumulate over g blocks
-    bb_up = jnp.sum(fup_s[:, :, :], axis=-1)
-    bb_dn = jnp.sum(fdn_s[:, :, :] + dirlev[:, :, :], axis=-1)
-    bb_dir = jnp.sum(dirlev[:, :, :], axis=-1)
+    if band_width is not None:
+        # per-band sums: each g-point block writes its own band slice
+        # (reference sum_byband, mo_fluxes_byband.F90:159-190, in-solver)
+        nb = fup_s.shape[-1] // band_width
+        bcol, nlev = fup_s.shape[0], fup_s.shape[1]
+        grouped = lambda x: jnp.sum(
+            x.reshape(bcol, nlev, nb, band_width), axis=-1)
+        up_ref[:, :, :] = grouped(fup_s[:, :, :])
+        dn_ref[:, :, :] = grouped(fdn_s[:, :, :] + dirlev[:, :, :])
+        dir_ref[:, :, :] = grouped(dirlev[:, :, :])
+    else:
+        # broadband reduction over the g-point lanes; accumulate over
+        # g blocks
+        bb_up = jnp.sum(fup_s[:, :, :], axis=-1)
+        bb_dn = jnp.sum(fdn_s[:, :, :] + dirlev[:, :, :], axis=-1)
+        bb_dir = jnp.sum(dirlev[:, :, :], axis=-1)
 
-    @pl.when(gb == 0)
-    def _():
-        up_ref[:, :] = bb_up
-        dn_ref[:, :] = bb_dn
-        dir_ref[:, :] = bb_dir
+        @pl.when(gb == 0)
+        def _():
+            up_ref[:, :] = bb_up
+            dn_ref[:, :] = bb_dn
+            dir_ref[:, :] = bb_dir
 
-    @pl.when(gb != 0)
-    def _():
-        up_ref[:, :] += bb_up
-        dn_ref[:, :] += bb_dn
-        dir_ref[:, :] += bb_dir
+        @pl.when(gb != 0)
+        def _():
+            up_ref[:, :] += bb_up
+            dn_ref[:, :] += bb_dn
+            dir_ref[:, :] += bb_dir
 
 
 def sw_two_stream_broadband_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
                                  inc_flux_dir, inc_flux_dif=None, *,
+                                 band_width=None,
                                  interpret: bool = False):
     """Broadband SW two-stream fluxes (flux_up, flux_dn_total, flux_dir),
     each (ncol, nlay+1). Inputs are top-at-index-0 (the caller flips).
-    ncol is padded to 8 and ngpt to 128 (zero tau/inc contribute zero)."""
+    ncol is padded to 8 and ngpt to 128 (zero tau/inc contribute zero).
+    With ``band_width`` (uniform band width dividing 128 tiling ngpt)
+    outputs become per-band sums (ncol, nlay+1, nbnd)."""
     ncol, nlay, ngpt = tau.shape
     dtype = tau.dtype
     pc = (-ncol) % _BCOL
@@ -175,12 +191,29 @@ def sw_two_stream_broadband_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     ncol_p, ngpt_p = ncol + pc, ngpt + pg
     nlev = nlay + 1
 
-    kern = functools.partial(_sw_kernel, nlay=nlay)
+    if band_width is not None and (band_width <= 0
+                                   or _BGPT % band_width != 0
+                                   or ngpt % band_width != 0):
+        raise ValueError(f"band_width {band_width} must divide {_BGPT} "
+                         f"and tile ngpt {ngpt}")
+
+    kern = functools.partial(_sw_kernel, nlay=nlay, band_width=band_width)
     v3 = lambda: pl.BlockSpec((_BCOL, nlay, _BGPT), lambda c, b: (c, 0, b),
                               memory_space=pltpu.VMEM)
     v2 = lambda: pl.BlockSpec((_BCOL, _BGPT), lambda c, b: (c, b),
                               memory_space=pltpu.VMEM)
     scratch3 = lambda nl: pltpu.VMEM((_BCOL, nl, _BGPT), dtype)
+
+    if band_width is None:
+        ospec = pl.BlockSpec((_BCOL, nlev), lambda c, b: (c, 0),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((ncol_p, nlev), dtype)
+    else:
+        nbpb = _BGPT // band_width
+        nbnd_p = ngpt_p // band_width
+        ospec = pl.BlockSpec((_BCOL, nlev, nbpb), lambda c, b: (c, 0, b),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((ncol_p, nlev, nbnd_p), dtype)
 
     up, dn, fdir = pl.pallas_call(
         kern,
@@ -191,19 +224,15 @@ def sw_two_stream_broadband_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
                          memory_space=pltpu.VMEM),
             v2(), v2(), v2(), v2(),
         ],
-        out_specs=[
-            pl.BlockSpec((_BCOL, nlev), lambda c, b: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BCOL, nlev), lambda c, b: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BCOL, nlev), lambda c, b: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((ncol_p, nlev), dtype)] * 3,
+        out_specs=[ospec] * 3,
+        out_shape=[oshape] * 3,
         scratch_shapes=[scratch3(nlev), scratch3(nlay), scratch3(nlay),
                         scratch3(nlay), scratch3(nlay),
                         scratch3(nlev), scratch3(nlev), scratch3(nlay),
                         scratch3(nlev), scratch3(nlev), scratch3(nlay)],
         interpret=interpret,
     )(tau_p, ssa_p, g_p, mu0_p, albdir, albdif, inc, incdif)
+    if band_width is not None:
+        nbnd = ngpt // band_width
+        return up[:ncol, :, :nbnd], dn[:ncol, :, :nbnd], fdir[:ncol, :, :nbnd]
     return up[:ncol], dn[:ncol], fdir[:ncol]

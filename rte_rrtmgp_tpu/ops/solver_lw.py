@@ -213,7 +213,8 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
                      sfc_src_jac=None, ssa=None, g=None,
                      do_rescaling: bool = False,
                      do_jacobians: bool = False,
-                     spectral: bool = False) -> LWFluxes:
+                     spectral: bool = False,
+                     byband_width=None) -> LWFluxes:
     """Multi-angle no-scattering LW solve (reference rte_lw_solver_noscat,
     mo_rte_solver_kernels.F90:248-367).
 
@@ -223,6 +224,9 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
       ds: per-angle secants, (nmus, ncol, ngpt) or sequence of scalars.
       weights: (nmus,) quadrature weights (Python floats, static).
       spectral: if True return per-g-point fluxes, else broadband.
+      byband_width: uniform band width -> per-band flux sums
+        (ncol, nlev, ngpt // byband_width), computed in-kernel on the
+        Pallas path (reference mo_fluxes_byband.F90:159-190).
     Returns LWFluxes; fluxes are in W/m2 (intensity * pi * weight).
     """
     dtype = tau.dtype
@@ -247,20 +251,38 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
     ds_arr = jnp.asarray(ds, dtype=dtype)
     scalar_ds = ds_arr.ndim == 1
 
-    if not spectral and scalar_ds and len(weights) == 1:
-        # fused Pallas kernel for the single-angle broadband default
-        # (auto on TPU; forced/disabled via config.use_pallas)
+    # secants per angle: either per-angle scalars or per-(col, gpt) fields
+    # (the lw_Ds path, always a single "angle")
+    per_gpt_ds = ds_arr.ndim == 3
+
+    if byband_width is not None and (byband_width <= 0
+                                     or ngpt % byband_width != 0):
+        raise ValueError(f"lw_solver_noscat: byband_width {byband_width} "
+                         f"does not tile ngpt {ngpt}")
+
+    if not spectral and (scalar_ds or per_gpt_ds):
+        # fused Pallas kernel (auto on TPU; forced/disabled via
+        # config.use_pallas); multi-angle sums per-angle kernel launches
+        # exactly as the reference accumulates angles (:314-361)
         from ..config import get_config, on_tpu as _on_tpu
         on_tpu = _on_tpu()
         cfg = get_config().use_pallas
-        if (on_tpu if cfg is None else cfg):
+        kernel_byband = byband_width is not None and 128 % byband_width == 0
+        if ((on_tpu if cfg is None else cfg)
+                and (byband_width is None or kernel_byband)):
             from .pallas.solver_lw_kernel import lw_noscat_broadband_lane
-            up, dn, jac = lw_noscat_broadband_lane(
-                tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
-                ds=ds_arr[0], weight=weights[0],
-                ssa=ssa, g=g, sfc_src_jac=sfc_src_jac,
-                do_rescaling=do_rescaling, do_jacobians=do_jacobians,
-                interpret=not on_tpu)
+            up = dn = jac = None
+            for imu in range(len(weights)):
+                u, d, j = lw_noscat_broadband_lane(
+                    tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
+                    ds=ds_arr[imu], weight=weights[imu],
+                    ssa=ssa, g=g, sfc_src_jac=sfc_src_jac,
+                    do_rescaling=do_rescaling, do_jacobians=do_jacobians,
+                    band_width=byband_width,
+                    interpret=not on_tpu)
+                up = u if up is None else up + u
+                dn = d if dn is None else dn + d
+                jac = j if jac is None else jac + j
             if not top_at_1:
                 up = jnp.flip(up, axis=1)
                 dn = jnp.flip(dn, axis=1)
@@ -272,17 +294,24 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
     nmus = ds_arr.shape[0]
 
     up = dn = jac = None
+    want_spectral = spectral or byband_width is not None
     for imu in range(nmus):
         w = float(weights[imu])
         u, d, j = _oneangle(tau, lay_source, lev_source, sfc_emis, sfc_src,
                             inc_flux, ds_arr[imu], w, sfc_src_jac, ssa, g,
-                            do_rescaling, do_jacobians, spectral)
+                            do_rescaling, do_jacobians, want_spectral)
         piw = jnp.asarray(PI * w, dtype)
         u, d = u * piw, d * piw
         j = j * piw if j is not None else None
         up = u if up is None else up + u
         dn = d if dn is None else dn + d
         jac = j if jac is None else jac + j
+    if byband_width is not None and not spectral:
+        # XLA byband fallback: group-sum the spectral fluxes
+        nb = ngpt // byband_width
+        group = lambda x: jnp.sum(
+            x.reshape(x.shape[0], x.shape[1], nb, byband_width), axis=-1)
+        up, dn = group(up), group(dn)
 
     if not top_at_1:
         up = jnp.flip(up, axis=1)

@@ -124,7 +124,8 @@ def sw_dif_and_source(tau, w0, g, mu0, inc_flux_dir, sfc_alb_dir):
 def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
                       inc_flux_dir, *, top_at_1: bool,
                       inc_flux_dif=None,
-                      spectral: bool = False) -> SWFluxes:
+                      spectral: bool = False,
+                      byband_width=None) -> SWFluxes:
     """Two-stream SW solve (reference rte_sw_solver_2stream, :503-609).
 
     tau/ssa/g: (ncol, nlay, ngpt); mu0: (ncol, nlay) cosine of solar zenith
@@ -132,6 +133,12 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     Returns broadband (ncol, nlev) fluxes unless ``spectral``.
     flux_dn is *total* down = diffuse + direct.
     """
+    ngpt = tau.shape[-1]
+    if byband_width is not None and (byband_width <= 0
+                                     or ngpt % byband_width != 0):
+        raise ValueError(f"sw_solver_2stream: byband_width {byband_width} "
+                         f"does not tile ngpt {ngpt}")
+
     if not top_at_1:
         tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
         mu0 = jnp.flip(mu0, axis=1)
@@ -142,11 +149,14 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         from ..config import get_config, on_tpu as _on_tpu
         on_tpu = _on_tpu()
         cfg = get_config().use_pallas
-        if (on_tpu if cfg is None else cfg):
+        kernel_byband = byband_width is not None and 128 % byband_width == 0
+        if ((on_tpu if cfg is None else cfg)
+                and (byband_width is None or kernel_byband)):
             from .pallas.solver_sw_kernel import sw_two_stream_broadband_lane
             up, dn, fdir = sw_two_stream_broadband_lane(
                 tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif, inc_flux_dir,
-                inc_flux_dif, interpret=not on_tpu)
+                inc_flux_dif, band_width=byband_width,
+                interpret=not on_tpu)
             if not top_at_1:
                 up = jnp.flip(up, axis=1)
                 dn = jnp.flip(dn, axis=1)
@@ -166,9 +176,16 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     flux_dn = flux_dn + flux_dir   # total = diffuse + direct (reference :606)
 
     if not spectral:
-        flux_up = jnp.sum(flux_up, axis=-1)
-        flux_dn = jnp.sum(flux_dn, axis=-1)
-        flux_dir = jnp.sum(flux_dir, axis=-1)
+        if byband_width is not None:
+            nb = ngpt // byband_width
+            group = lambda x: jnp.sum(x.reshape(
+                x.shape[0], x.shape[1], nb, byband_width), axis=-1)
+            flux_up, flux_dn, flux_dir = (group(flux_up), group(flux_dn),
+                                          group(flux_dir))
+        else:
+            flux_up = jnp.sum(flux_up, axis=-1)
+            flux_dn = jnp.sum(flux_dn, axis=-1)
+            flux_dir = jnp.sum(flux_dir, axis=-1)
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)
         flux_dn = jnp.flip(flux_dn, axis=1)

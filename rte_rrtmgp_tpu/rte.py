@@ -22,8 +22,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from .config import get_config
-from .fluxes import Fluxes
+from .fluxes import Fluxes, sum_byband
 from .optical_props import (OpticalProps, OpticalProps1scl, OpticalProps2str,
                             OpticalPropsNstr, validate as validate_props)
 from .sources import SourcesLW
@@ -32,6 +34,14 @@ from .ops.solver_lw import (GAUSS_DS, GAUSS_WTS, lw_solver_noscat,
 from .ops.solver_sw import sw_solver_2stream, sw_solver_noscat
 
 __all__ = ["rte_lw", "rte_sw"]
+
+
+def _uniform_band_width(grid):
+    """The common band width when every band spans the same number of
+    g-points (production k-distributions: 16), else None."""
+    lims = np.asarray(grid.band_lims_gpt_array)
+    widths = lims[:, 1] - lims[:, 0] + 1
+    return int(widths[0]) if (widths == widths[0]).all() else None
 
 
 def _expand_bc(arr, grid, ncol, what):
@@ -58,7 +68,8 @@ def rte_lw(optical_props: OpticalProps,
            use_2stream: bool = False,
            lw_ds=None,
            compute_jacobian: bool = False,
-           spectral: bool = False) -> Fluxes:
+           spectral: bool = False,
+           byband: bool = False) -> Fluxes:
     """Longwave flux driver (reference ``rte_lw``, mo_rte_lw.F90:79-473).
 
     Dispatch (reference :242-257):
@@ -68,6 +79,10 @@ def rte_lw(optical_props: OpticalProps,
         (Tang 2018); Jacobian allowed.
       * 2str, use_2stream=True -> true two-stream + adding; no Jacobian.
       * nstr -> not implemented (matches reference :431).
+
+    ``byband=True`` returns per-band flux sums (ncol, nlev, nband) —
+    the ty_fluxes_byband reduction (mo_fluxes_byband.F90:159-219),
+    accumulated in-solver on the Pallas path for uniform band widths.
     """
     cfg = get_config()
     grid = optical_props.grid
@@ -92,8 +107,13 @@ def rte_lw(optical_props: OpticalProps,
             raise ValueError("rte_lw: lw_ds not valid when providing scattering optical properties")
         if n_gauss_angles != 1:
             raise ValueError("rte_lw: providing lw_ds incompatible with specifying n_gauss_angles")
+    if byband and spectral:
+        raise ValueError("rte_lw: byband and spectral are mutually exclusive")
     if cfg.check_values:
         validate_props(optical_props)
+
+    bw = _uniform_band_width(grid) if byband else None
+    reduce_byband = byband and bw is None      # ragged bands: reduce after
 
     sfc_emis_g = _expand_bc(sfc_emis, grid, ncol, "sfc_emis")
     dtype = optical_props.tau.dtype
@@ -106,7 +126,12 @@ def rte_lw(optical_props: OpticalProps,
         res = lw_solver_2stream(
             optical_props.tau, optical_props.ssa, optical_props.g,
             sources.lay_source, sources.lev_source, sfc_emis_g,
-            sources.sfc_source, inc, top_at_1=top_at_1, spectral=spectral)
+            sources.sfc_source, inc, top_at_1=top_at_1,
+            spectral=spectral or byband)
+        if byband:
+            res = type(res)(flux_up=sum_byband(res.flux_up, grid),
+                            flux_dn=sum_byband(res.flux_dn, grid),
+                            flux_up_jac=res.flux_up_jac)
     else:
         if lw_ds is not None:
             ds = jnp.broadcast_to(jnp.asarray(lw_ds, dtype), (ncol, ngpt))[None]
@@ -125,7 +150,12 @@ def rte_lw(optical_props: OpticalProps,
             g=optical_props.g if rescale else None,
             do_rescaling=rescale,
             do_jacobians=compute_jacobian,
-            spectral=spectral)
+            spectral=spectral or reduce_byband,
+            byband_width=bw)
+        if reduce_byband:
+            res = type(res)(flux_up=sum_byband(res.flux_up, grid),
+                            flux_dn=sum_byband(res.flux_dn, grid),
+                            flux_up_jac=res.flux_up_jac)
 
     return Fluxes(flux_up=res.flux_up, flux_dn=res.flux_dn,
                   flux_net=res.flux_dn - res.flux_up,
@@ -139,15 +169,20 @@ def rte_sw(optical_props: OpticalProps,
            sfc_alb_dif,
            *,
            inc_flux_dif=None,
-           spectral: bool = False) -> Fluxes:
+           spectral: bool = False,
+           byband: bool = False) -> Fluxes:
     """Shortwave flux driver (reference ``rte_sw``, mo_rte_sw.F90:56-394).
 
     mu0: cosine of solar zenith angle, (ncol,) or (ncol, nlay) for spherical
     geometry (reference rte_sw_mu0_bycol / rte_sw_mu0_full).
     inc_flux: direct-beam incident flux (ncol, ngpt).
     Dispatch: 1scl -> direct beam only; 2str -> two-stream + adding.
+    ``byband=True`` returns per-band flux sums (mo_fluxes_byband.F90),
+    in-solver on the Pallas path for uniform band widths.
     """
     cfg = get_config()
+    if byband and spectral:
+        raise ValueError("rte_sw: byband and spectral are mutually exclusive")
     grid = optical_props.grid
     ncol, nlay, ngpt = optical_props.tau.shape
     top_at_1 = optical_props.top_at_1
@@ -169,7 +204,9 @@ def rte_sw(optical_props: OpticalProps,
 
     if isinstance(optical_props, OpticalProps1scl):
         flux_dir = sw_solver_noscat(optical_props.tau, mu0, inc, top_at_1=top_at_1)
-        if not spectral:
+        if byband:
+            flux_dir = sum_byband(flux_dir, grid)
+        elif not spectral:
             flux_dir = jnp.sum(flux_dir, axis=-1)
         zeros = jnp.zeros_like(flux_dir)
         return Fluxes(flux_up=zeros, flux_dn=flux_dir,
@@ -181,10 +218,17 @@ def rte_sw(optical_props: OpticalProps,
     alb_dif = _expand_bc(sfc_alb_dif, grid, ncol, "sfc_alb_dif")
     dif = None if inc_flux_dif is None else _expand_bc(inc_flux_dif, grid, ncol, "inc_flux_dif")
 
+    bw = _uniform_band_width(grid) if byband else None
+    reduce_byband = byband and bw is None
     res = sw_solver_2stream(optical_props.tau, optical_props.ssa,
                             optical_props.g, mu0, alb_dir, alb_dif, inc,
                             top_at_1=top_at_1, inc_flux_dif=dif,
-                            spectral=spectral)
+                            spectral=spectral or reduce_byband,
+                            byband_width=bw)
+    if reduce_byband:
+        res = type(res)(flux_up=sum_byband(res.flux_up, grid),
+                        flux_dn=sum_byband(res.flux_dn, grid),
+                        flux_dir=sum_byband(res.flux_dir, grid))
     return Fluxes(flux_up=res.flux_up, flux_dn=res.flux_dn,
                   flux_net=res.flux_dn - res.flux_up,
                   flux_dn_dir=res.flux_dir)

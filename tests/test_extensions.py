@@ -195,3 +195,78 @@ def test_solar_variability_indices():
     assert abs(a[0] - b[0]) < 1e-4
     with pytest.raises(ValueError):
         sv.indices(1.5)
+
+
+def test_rte_byband_matches_spectral_reduction():
+    """rte_lw/rte_sw(byband=True) == sum_byband of the spectral solve,
+    on both the XLA and (interpret-mode) Pallas paths (reference
+    ty_fluxes_byband, mo_fluxes_byband.F90:159-219)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gray_atmosphere import gray_rad_equil
+    from rte_rrtmgp_tpu import OpticalProps2str, SpectralGrid, rte_sw
+    from rte_rrtmgp_tpu.config import set_use_pallas
+
+    rng = np.random.default_rng(9)
+    ncol, nlay, ngpt, nbnd = 6, 8, 16, 2
+    grid16 = SpectralGrid.from_arrays(
+        [[0.0, 1000.0], [1000.0, 3000.0]], [[1, 8], [9, 16]])
+
+    # LW: 1scl noscat
+    tau = jnp.asarray(rng.uniform(0.05, 2.0, (ncol, nlay, ngpt)))
+    lay = jnp.asarray(rng.uniform(10, 60, (ncol, nlay, ngpt)))
+    lev = jnp.asarray(rng.uniform(10, 60, (ncol, nlay + 1, ngpt)))
+    from rte_rrtmgp_tpu import OpticalProps1scl, SourcesLW
+    props = OpticalProps1scl(tau=tau, grid=grid16)
+    src = SourcesLW(lay_source=lay, lev_source=lev,
+                    sfc_source=jnp.asarray(rng.uniform(30, 80, (ncol, ngpt))),
+                    sfc_source_jac=jnp.zeros((ncol, ngpt)), grid=grid16)
+    emis = jnp.full((ncol, 1), 0.97)
+    for pallas in (False, True):
+        set_use_pallas(pallas)
+        try:
+            f_sp = rte_lw(props, src, emis, spectral=True)
+            f_bb = rte_lw(props, src, emis, byband=True)
+            np.testing.assert_allclose(
+                np.asarray(f_bb.flux_up),
+                np.asarray(sum_byband(f_sp.flux_up, grid16)),
+                rtol=1e-6, atol=1e-10, err_msg=f"LW pallas={pallas}")
+            np.testing.assert_allclose(
+                np.asarray(f_bb.flux_dn),
+                np.asarray(sum_byband(f_sp.flux_dn, grid16)),
+                rtol=1e-6, atol=1e-10)
+            assert f_bb.flux_up.shape == (ncol, nlay + 1, nbnd)
+
+            # SW: two-stream
+            p2 = OpticalProps2str(
+                tau=tau, ssa=jnp.asarray(rng.uniform(0.1, 0.9, tau.shape)),
+                g=jnp.asarray(rng.uniform(0.0, 0.8, tau.shape)), grid=grid16)
+            mu0 = np.full(ncol, 0.6)
+            inc = jnp.asarray(rng.uniform(5, 10, (ncol, ngpt)))
+            alb = jnp.full((ncol, 1), 0.2)
+            s_sp = rte_sw(p2, mu0, inc, alb, alb, spectral=True)
+            s_bb = rte_sw(p2, mu0, inc, alb, alb, byband=True)
+            np.testing.assert_allclose(
+                np.asarray(s_bb.flux_up),
+                np.asarray(sum_byband(s_sp.flux_up, grid16)),
+                rtol=1e-6, atol=1e-10, err_msg=f"SW pallas={pallas}")
+            np.testing.assert_allclose(
+                np.asarray(s_bb.flux_dn_dir),
+                np.asarray(sum_byband(s_sp.flux_dn_dir, grid16)),
+                rtol=1e-6, atol=1e-10)
+        finally:
+            set_use_pallas(None)
+
+    # ragged bands fall back to the spectral+reduce path
+    grid_ragged = SpectralGrid.from_arrays(
+        [[0.0, 1000.0], [1000.0, 3000.0]], [[1, 6], [7, 16]])
+    props_r = OpticalProps1scl(tau=tau, grid=grid_ragged)
+    src_r = SourcesLW(lay_source=lay, lev_source=lev,
+                      sfc_source=src.sfc_source,
+                      sfc_source_jac=src.sfc_source_jac, grid=grid_ragged)
+    f_sp = rte_lw(props_r, src_r, emis, spectral=True)
+    f_bb = rte_lw(props_r, src_r, emis, byband=True)
+    np.testing.assert_allclose(
+        np.asarray(f_bb.flux_up),
+        np.asarray(sum_byband(f_sp.flux_up, grid_ragged)),
+        rtol=1e-6, atol=1e-10)
