@@ -142,6 +142,54 @@ try:
 except Exception as e:
     check("native LW matches analytic OLR", False, f"{type(e).__name__}: {e}")
 
+# ---- 3d. production-shape fused-vs-XLA equivalence (real TPU) ---------------
+# (reference check_equivalence.F90's cross-path assertions :218-475: code
+# paths that should agree must agree at tolerance, at PRODUCTION shapes —
+# the toy-shape interpret-mode tests can't catch lane-table indexing bugs
+# that only appear at 256 gpt / 59 pressures)
+if os.environ.get("DRIVE_FUSED_EQUIV", "1") == "1":
+    print("[3d] fused vs XLA at production shapes (256/224 gpt, 59 press)")
+    from rte_rrtmgp_tpu.config import set_use_pallas
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw, allsky_step_sw,
+                                               make_allsky_inputs)
+    from rte_rrtmgp_tpu.utils.synthetic import (synthetic_aerosol_optics,
+                                                synthetic_cloud_optics)
+
+    cld_p = synthetic_cloud_optics(nbnd=16,
+                                   band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    cld_p_sw = synthetic_cloud_optics(nbnd=14,
+                                      band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
+    aer_p = synthetic_aerosol_optics(nbnd=16,
+                                     band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    aer_p_sw = synthetic_aerosol_optics(nbnd=14,
+                                        band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
+    inp_p = make_allsky_inputs(1024, 72, cloud_optics=cld_p)
+
+    for use_aer in (False, True):
+        kw_lw = dict(cloud_optics=cld_p, aerosol_optics=aer_p,
+                     use_aerosols=use_aer)
+        kw_sw = dict(cloud_optics=cld_p_sw, aerosol_optics=aer_p_sw,
+                     use_aerosols=use_aer)
+        set_use_pallas(True)
+        flw_f = jax.jit(lambda i: allsky_step_lw(i, go_lw, **kw_lw))(inp_p)
+        fsw_f = jax.jit(lambda i: allsky_step_sw(i, go_sw, **kw_sw))(inp_p)
+        jax.block_until_ready((flw_f, fsw_f))
+        set_use_pallas(False)
+        flw_x = jax.jit(lambda i: allsky_step_lw(i, go_lw, **kw_lw))(inp_p)
+        fsw_x = jax.jit(lambda i: allsky_step_sw(i, go_sw, **kw_sw))(inp_p)
+        set_use_pallas(None)
+        for nm, a, b in (("LW up", flw_f.flux_up, flw_x.flux_up),
+                         ("LW dn", flw_f.flux_dn, flw_x.flux_dn),
+                         ("SW up", fsw_f.flux_up, fsw_x.flux_up),
+                         ("SW dn", fsw_f.flux_dn, fsw_x.flux_dn),
+                         ("SW dir", fsw_f.flux_dn_dir, fsw_x.flux_dn_dir)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(b).max()))
+            err = float(np.abs(a - b).max())
+            check(f"fused==XLA {nm} (aer={use_aer})",
+                  err <= 3.5e-1 and err / scale < 1e-3,
+                  f"max abs err {err:.2e} W/m2")
+
 # ---- 4. sharding equivalence handled by tests/dryrun (CPU mesh) -------------
 # (run in pytest suite; here probe error paths eagerly)
 print("[4] eager error paths")
