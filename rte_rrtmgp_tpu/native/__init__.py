@@ -253,6 +253,186 @@ class NativeKernels:
             self._p(self._f(spectral_flux)), self._p(out))
         return out
 
+    # ------------------------------------------------------------------
+    # RRTMGP gas-optics / cloud-optics kernels
+    # (reference rrtmgp/kernels/api/mo_gas_optics_rrtmgp_kernels.F90,
+    # api/mo_cloud_optics_rrtmgp_kernels.F90)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_bool))
+
+    def interpolation(self, play, tlay, col_gas, *, flavor, press_ref_log,
+                      temp_ref, press_ref_log_delta, temp_ref_min,
+                      temp_ref_delta, press_ref_trop_log, vmr_ref, neta):
+        """rrtmgp_interpolation. col_gas: (ncol, nlay, ngas+1) with dry air
+        at index 0; flavor: (2, nflav) col_gas indices (0 = dry air).
+        Returns dict of Fortran-ordered outputs (indices 1-based, ready to
+        feed back into the tau/Planck kernels)."""
+        ncol, nlay = play.shape
+        ngas = col_gas.shape[2] - 1
+        flav = np.asfortranarray(np.asarray(flavor, np.int32))
+        nflav = flav.shape[1]
+        npres = len(press_ref_log)
+        ntemp = len(temp_ref)
+        out = dict(
+            jtemp=np.zeros((ncol, nlay), np.int32, order="F"),
+            fmajor=np.zeros((2, 2, 2, ncol, nlay, nflav), self.dtype, order="F"),
+            fminor=np.zeros((2, 2, ncol, nlay, nflav), self.dtype, order="F"),
+            col_mix=np.zeros((2, ncol, nlay, nflav), self.dtype, order="F"),
+            tropo=np.zeros((ncol, nlay), np.bool_, order="F"),
+            jeta=np.zeros((2, ncol, nlay, nflav), np.int32, order="F"),
+            jpress=np.zeros((ncol, nlay), np.int32, order="F"),
+        )
+        cf = ctypes.c_float if self.dtype == np.float32 else ctypes.c_double
+        self.lib.rrtmgp_interpolation(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngas),
+            ctypes.c_int(nflav), ctypes.c_int(neta), ctypes.c_int(npres),
+            ctypes.c_int(ntemp), self._ip(flav),
+            self._p(self._f(press_ref_log)), self._p(self._f(temp_ref)),
+            cf(press_ref_log_delta), cf(temp_ref_min), cf(temp_ref_delta),
+            cf(press_ref_trop_log),
+            self._p(self._f(vmr_ref, (2, ngas + 1, ntemp))),
+            self._p(self._f(play)), self._p(self._f(tlay)),
+            self._p(self._f(col_gas)),
+            self._ip(out["jtemp"]), self._p(out["fmajor"]),
+            self._p(out["fminor"]), self._p(out["col_mix"]),
+            self._bp(out["tropo"]), self._ip(out["jeta"]),
+            self._ip(out["jpress"]))
+        return out
+
+    def compute_tau_absorption(self, interp, *, ngpt, gpoint_flavor,
+                               band_lims_gpt, kmajor, kminor_lower,
+                               kminor_upper, minor_lower, minor_upper,
+                               idx_h2o, play, tlay, col_gas):
+        """rrtmgp_compute_tau_absorption. interp: the dict returned by
+        :meth:`interpolation`. minor_lower/upper: objects with the
+        1-based-convertible minor metadata (KDist.MinorSet works).
+        Returns tau (ncol, nlay, ngpt) Fortran-ordered."""
+        ncol, nlay = play.shape
+        ngas = col_gas.shape[2] - 1
+        ntemp, neta, npresp1, _ = kmajor.shape
+        nflav = interp["jeta"].shape[3]
+        nbnd = len(band_lims_gpt)
+
+        def minor_args(ms):
+            n = len(ms.kminor_start)
+            lims = np.asfortranarray(
+                np.asarray(ms.limits_gpt, np.int32).reshape(n, 2).T + 1)
+            return (n, lims,
+                    np.asarray(ms.scales_with_density, np.bool_),
+                    np.asarray(ms.scale_by_complement, np.bool_),
+                    np.asarray(ms.idx_minor, np.int32),
+                    np.asarray(ms.idx_minor_scaling, np.int32),
+                    np.asarray(ms.kminor_start, np.int32) + 1)
+
+        nml, lim_l, swd_l, sbc_l, im_l, ims_l, ks_l = minor_args(minor_lower)
+        nmu, lim_u, swd_u, sbc_u, im_u, ims_u, ks_u = minor_args(minor_upper)
+        gflav = np.asfortranarray(np.asarray(gpoint_flavor, np.int32) + 1)
+        blims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)
+        tau = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        self.lib.rrtmgp_compute_tau_absorption(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(nbnd),
+            ctypes.c_int(ngpt), ctypes.c_int(ngas), ctypes.c_int(nflav),
+            ctypes.c_int(neta), ctypes.c_int(npresp1 - 1),
+            ctypes.c_int(ntemp),
+            ctypes.c_int(nml), ctypes.c_int(kminor_lower.shape[2]),
+            ctypes.c_int(nmu), ctypes.c_int(kminor_upper.shape[2]),
+            ctypes.c_int(idx_h2o),
+            self._ip(gflav), self._ip(blims),
+            self._p(self._f(kmajor)), self._p(self._f(kminor_lower)),
+            self._p(self._f(kminor_upper)),
+            self._ip(lim_l), self._ip(lim_u),
+            self._bp(swd_l), self._bp(swd_u),
+            self._bp(sbc_l), self._bp(sbc_u),
+            self._ip(im_l), self._ip(im_u),
+            self._ip(ims_l), self._ip(ims_u),
+            self._ip(ks_l), self._ip(ks_u),
+            self._bp(interp["tropo"]), self._p(interp["col_mix"]),
+            self._p(interp["fmajor"]), self._p(interp["fminor"]),
+            self._p(self._f(play)), self._p(self._f(tlay)),
+            self._p(self._f(col_gas)),
+            self._ip(interp["jeta"]), self._ip(interp["jtemp"]),
+            self._ip(interp["jpress"]), self._p(tau))
+        return tau
+
+    def compute_tau_rayleigh(self, interp, *, gpoint_flavor, band_lims_gpt,
+                             krayl, idx_h2o, col_dry, col_gas):
+        """rrtmgp_compute_tau_rayleigh -> tau_rayleigh (ncol, nlay, ngpt)."""
+        ncol, nlay = col_dry.shape
+        ngas = col_gas.shape[2] - 1
+        ntemp, neta, ngpt, _ = krayl.shape
+        nflav = interp["jeta"].shape[3]
+        gflav = np.asfortranarray(np.asarray(gpoint_flavor, np.int32) + 1)
+        blims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)
+        out = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        self.lib.rrtmgp_compute_tau_rayleigh(
+            ctypes.c_int(ncol), ctypes.c_int(nlay),
+            ctypes.c_int(blims.shape[1]), ctypes.c_int(ngpt),
+            ctypes.c_int(ngas), ctypes.c_int(nflav), ctypes.c_int(neta),
+            ctypes.c_int(0), ctypes.c_int(ntemp),
+            self._ip(gflav), self._ip(blims), self._p(self._f(krayl)),
+            ctypes.c_int(idx_h2o), self._p(self._f(col_dry)),
+            self._p(self._f(col_gas)), self._p(interp["fminor"]),
+            self._ip(interp["jeta"]), self._bp(interp["tropo"]),
+            self._ip(interp["jtemp"]), self._p(out))
+        return out
+
+    def compute_planck_source(self, interp, *, tlay, tlev, tsfc, sfc_lay,
+                              gpt2band, band_lims_gpt, planck_frac,
+                              temp_ref_min, totplnk_delta, totplnk,
+                              gpoint_flavor):
+        """rrtmgp_compute_Planck_source -> (sfc_src, lay_src, lev_src,
+        sfc_src_jac). sfc_lay 1-based; gpt2band 0-based (converted)."""
+        ncol, nlay = tlay.shape
+        ntemp, neta, npresp1, ngpt = planck_frac.shape
+        totplnk = np.asarray(totplnk)
+        nplnk, nbnd = totplnk.shape
+        gbands = np.asarray(gpt2band, np.int32) + 1
+        gflav = np.asfortranarray(np.asarray(gpoint_flavor, np.int32) + 1)
+        blims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)
+        cf = ctypes.c_float if self.dtype == np.float32 else ctypes.c_double
+        sfc = np.zeros((ncol, ngpt), self.dtype, order="F")
+        lay = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        lev = np.zeros((ncol, nlay + 1, ngpt), self.dtype, order="F")
+        jac = np.zeros((ncol, ngpt), self.dtype, order="F")
+        nflav = interp["jeta"].shape[3]
+        self.lib.rrtmgp_compute_Planck_source(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(nbnd),
+            ctypes.c_int(ngpt), ctypes.c_int(nflav), ctypes.c_int(neta),
+            ctypes.c_int(npresp1 - 1), ctypes.c_int(ntemp),
+            ctypes.c_int(nplnk),
+            self._p(self._f(tlay)), self._p(self._f(tlev)),
+            self._p(self._f(tsfc)), ctypes.c_int(sfc_lay),
+            self._p(interp["fmajor"]), self._ip(interp["jeta"]),
+            self._bp(interp["tropo"]), self._ip(interp["jtemp"]),
+            self._ip(interp["jpress"]),
+            self._ip(np.ascontiguousarray(gbands)), self._ip(blims),
+            self._p(self._f(planck_frac)),
+            cf(temp_ref_min), cf(totplnk_delta),
+            self._p(self._f(totplnk)), self._ip(gflav),
+            self._p(sfc), self._p(lay), self._p(lev), self._p(jac))
+        return sfc, lay, lev, jac
+
+    def compute_cld_from_table(self, mask, lwp, re, *, nsteps, step_size,
+                               offset, tau_table, ssa_table, asy_table):
+        """rrtmgp_compute_cld_from_table -> (tau, taussa, taussag)."""
+        ncol, nlay = lwp.shape
+        ngpt = np.asarray(tau_table).shape[1]
+        cf = ctypes.c_float if self.dtype == np.float32 else ctypes.c_double
+        mask = np.asfortranarray(np.asarray(mask, np.bool_))
+        tau = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        tss = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        tsg = np.zeros((ncol, nlay, ngpt), self.dtype, order="F")
+        self.lib.rrtmgp_compute_cld_from_table(
+            ctypes.c_int(ncol), ctypes.c_int(nlay), ctypes.c_int(ngpt),
+            self._bp(mask), self._p(self._f(lwp)), self._p(self._f(re)),
+            ctypes.c_int(nsteps), cf(step_size), cf(offset),
+            self._p(self._f(tau_table)), self._p(self._f(ssa_table)),
+            self._p(self._f(asy_table)),
+            self._p(tau), self._p(tss), self._p(tsg))
+        return tau, tss, tsg
+
     def sum_byband(self, spectral_flux, band_lims_gpt):
         ncol, nlev, ngpt = spectral_flux.shape
         lims = np.asfortranarray(np.asarray(band_lims_gpt, np.int32).T)

@@ -189,3 +189,149 @@ def test_flux_reductions_match(nk):
     byb = nk.sum_byband(flux, lims)
     ref = flux.reshape(NCOL, NLAY + 1, 4, 2).sum(-1)
     np.testing.assert_allclose(byb, ref, rtol=2e-6, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# RRTMGP gas-optics / cloud-optics kernels
+# (reference rrtmgp/kernels/api/mo_gas_optics_rrtmgp_kernels.F90)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rrtmgp_problem():
+    from rte_rrtmgp_tpu.drivers.allsky import make_allsky_inputs
+    from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
+
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=12,
+                         dtype=jnp.float64)
+    kd_sw = synthetic_kdist(sw=True, ngpt=32, nbnd=4, ntemp=6, npres=12,
+                            dtype=jnp.float64)
+    gop = GasOpticsRRTMGP(kd)
+    gop_sw = GasOpticsRRTMGP(kd_sw)
+    inputs = make_allsky_inputs(6, 10, dtype=jnp.float64)
+    return kd, kd_sw, gop, gop_sw, inputs
+
+
+def _native_interp(nk64, kd, gop, inputs):
+    col_gas, col_dry, idx_h2o = gop._col_gas(
+        inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs, None)
+    cg = np.moveaxis(np.asarray(col_gas), 0, -1)       # (ncol, nlay, ngas+1)
+    interp = nk64.interpolation(
+        np.asarray(inputs.play), np.asarray(inputs.tlay), cg,
+        flavor=np.asarray(kd.flavor), press_ref_log=kd.press_ref_log,
+        temp_ref=kd.temp_ref, press_ref_log_delta=kd.press_ref_log_delta,
+        temp_ref_min=kd.temp_ref_min, temp_ref_delta=kd.temp_ref_delta,
+        press_ref_trop_log=kd.press_ref_trop_log, vmr_ref=kd.vmr_ref,
+        neta=kd.neta)
+    return interp, cg, np.asarray(col_dry), idx_h2o, col_gas
+
+
+def test_native_interpolation_matches_jax(rrtmgp_problem):
+    kd, _, gop, _, inputs = rrtmgp_problem
+    nk64 = native.load(np.float64)
+    interp, _, _, _, col_gas = _native_interp(nk64, kd, gop, inputs)
+    ref = gop._interp(inputs.play, inputs.tlay, col_gas)
+
+    np.testing.assert_array_equal(interp["jtemp"] - 1, np.asarray(ref.jtemp))
+    np.testing.assert_array_equal(interp["jpress"] - 1, np.asarray(ref.jpress))
+    np.testing.assert_array_equal(interp["tropo"], np.asarray(ref.tropo))
+    # jeta/col_mix/fminor/fmajor: native (.., ncol, nlay, nflav) vs JAX
+    # (.., nflav, ncol, nlay)
+    np.testing.assert_array_equal(
+        np.moveaxis(interp["jeta"], 3, 1) - 1, np.asarray(ref.jeta))
+    np.testing.assert_allclose(
+        np.moveaxis(interp["col_mix"], 3, 1), np.asarray(ref.col_mix),
+        rtol=1e-12)
+    # native fminor(eta, temp, ...) vs JAX fminor[it, de, flav, c, l]
+    fm = np.moveaxis(interp["fminor"], 4, 2)           # (2e, 2t, nflav, c, l)
+    np.testing.assert_allclose(fm.swapaxes(0, 1), np.asarray(ref.fminor),
+                               rtol=1e-12, atol=1e-15)
+    # native fmajor(eta, press, temp, ...) vs JAX fmajor[it, dp, de, ...]
+    fj = np.moveaxis(interp["fmajor"], 5, 3)       # (2e, 2p, 2t, nflav, c, l)
+    np.testing.assert_allclose(fj.transpose(2, 1, 0, 3, 4, 5),
+                               np.asarray(ref.fmajor), rtol=1e-12, atol=1e-15)
+
+
+def test_native_tau_and_planck_match_jax(rrtmgp_problem):
+    kd, _, gop, _, inputs = rrtmgp_problem
+    nk64 = native.load(np.float64)
+    interp, cg, _, idx_h2o, _ = _native_interp(nk64, kd, gop, inputs)
+
+    tau = nk64.compute_tau_absorption(
+        interp, ngpt=kd.grid.ngpt, gpoint_flavor=kd.gpoint_flavor,
+        band_lims_gpt=kd.grid.band_lims_gpt_array,
+        kmajor=np.asarray(kd.kmajor),
+        kminor_lower=np.asarray(kd.kminor_lower),
+        kminor_upper=np.asarray(kd.kminor_upper),
+        minor_lower=kd.minor_lower, minor_upper=kd.minor_upper,
+        idx_h2o=idx_h2o, play=np.asarray(inputs.play),
+        tlay=np.asarray(inputs.tlay), col_gas=cg)
+
+    props, sources = gop.gas_optics_lw(
+        inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
+        tlev=inputs.tlev, top_at_1=True)
+    np.testing.assert_allclose(tau, np.asarray(props.tau), rtol=1e-10,
+                               atol=1e-30)
+
+    sfc, lay, lev, jac = nk64.compute_planck_source(
+        interp, tlay=np.asarray(inputs.tlay), tlev=np.asarray(inputs.tlev),
+        tsfc=np.asarray(inputs.tsfc), sfc_lay=inputs.play.shape[1],
+        gpt2band=kd.grid.gpt2band, band_lims_gpt=kd.grid.band_lims_gpt_array,
+        planck_frac=np.asarray(kd.planck_frac),
+        temp_ref_min=kd.temp_ref_min, totplnk_delta=kd.totplnk_delta,
+        totplnk=np.asarray(kd.totplnk), gpoint_flavor=kd.gpoint_flavor)
+    np.testing.assert_allclose(sfc, np.asarray(sources.sfc_source),
+                               rtol=1e-10)
+    np.testing.assert_allclose(lay, np.asarray(sources.lay_source),
+                               rtol=1e-10)
+    np.testing.assert_allclose(lev, np.asarray(sources.lev_source),
+                               rtol=1e-10)
+    np.testing.assert_allclose(jac, np.asarray(sources.sfc_source_jac),
+                               rtol=1e-8)
+
+
+def test_native_rayleigh_matches_jax(rrtmgp_problem):
+    _, kd_sw, _, gop_sw, inputs = rrtmgp_problem
+    nk64 = native.load(np.float64)
+    interp, cg, col_dry, idx_h2o, col_gas = _native_interp(
+        nk64, kd_sw, gop_sw, inputs)
+
+    tau_ray = nk64.compute_tau_rayleigh(
+        interp, gpoint_flavor=kd_sw.gpoint_flavor,
+        band_lims_gpt=kd_sw.grid.band_lims_gpt_array,
+        krayl=np.asarray(kd_sw.krayl), idx_h2o=idx_h2o,
+        col_dry=col_dry, col_gas=cg)
+
+    props, _ = gop_sw.gas_optics_sw(inputs.play, inputs.plev, inputs.tlay,
+                                    inputs.gas_concs, top_at_1=True)
+    # JAX path folds Rayleigh into (tau, ssa): tau_ray = tau * ssa
+    np.testing.assert_allclose(tau_ray,
+                               np.asarray(props.tau * props.ssa),
+                               rtol=1e-9, atol=1e-30)
+
+
+def test_native_cloud_table_matches_jax(rrtmgp_problem):
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+
+    kd, _, _, _, inputs = rrtmgp_problem
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd.grid.band_lims_wvn_array,
+                                 dtype=jnp.float64)
+    nk64 = native.load(np.float64)
+    lwp = np.asarray(inputs.lwp)
+    rel = np.asarray(inputs.rel)
+    tau, tss, tsg = nk64.compute_cld_from_table(
+        lwp > 0.0, lwp, rel, nsteps=cld.liq_nsteps,
+        step_size=cld.liq_step_size, offset=cld.radliq_lwr,
+        tau_table=np.asarray(cld.extliq),
+        ssa_table=np.asarray(cld.ssaliq),
+        asy_table=np.asarray(cld.asyliq))
+    # liquid-only cloud optics through the JAX module (iwp = 0)
+    props = cld.cloud_optics(inputs.lwp, jnp.zeros_like(inputs.iwp),
+                             inputs.rel, inputs.dei)
+    np.testing.assert_allclose(tau, np.asarray(props.tau), rtol=1e-10,
+                               atol=1e-30)
+    ssa_ref = np.asarray(props.ssa)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ssa_native = np.where(tau > 0, tss / np.where(tau > 0, tau, 1.0), 0.0)
+    np.testing.assert_allclose(ssa_native, ssa_ref, rtol=1e-10, atol=1e-12)
