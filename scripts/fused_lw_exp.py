@@ -3,6 +3,9 @@
 Each variant is a drop-in for lw_fused_gas_optics_solve; bench with
 scripts/bench_fused_variants.py. Winners get promoted into
 rte_rrtmgp_tpu/ops/pallas/fused_lw.py.
+
+Round-2 lab: jp0/uniform SMEM hoisting (v_jpin) was promoted; the
+current experiments are bf16 major-table payloads.
 """
 import functools
 import os
@@ -22,22 +25,19 @@ from rte_rrtmgp_tpu.ops.pallas.minor_gather import (LANE_ROWS_MAX, _BC,
 from rte_rrtmgp_tpu.ops.pallas.fused_lw import lw_fused_gas_optics_solve
 
 
-# ---------------------------------------------------------------------------
-# v1: per-step flavor-select scratch — the tropo-conditional flavor rows
-# (te/fe/cm x 2 itemps) are selected ONCE per (block, band) step into a
-# scratch, vectorized over all layers; the hot layer loop then reads
-# static rows only (no dynamic sublane indexing, no per-layer selects).
-# v2: per-(block, layer) jp0/uniform precomputed OUTSIDE the kernel into
-# an SMEM table — kills the per-layer cross-lane min/max reductions.
-# ---------------------------------------------------------------------------
-
-def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
+def _kernel_bf(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                tab_ref, mtab_lo_ref, mtab_up_ref,
                pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
                up_ref, dn_ref,
-               tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, sel_s, *,
+               tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
                nlay, w, pspan, band_minors, ncont_lo, nflav,
-               with_cloud, use_jpin, use_sel):
+               with_cloud, bf_combine):
+    """Production kernel with the major table in bf16.
+
+    bf_combine: if True the eta/temp/press interpolation runs in bf16 and
+    only the final (tau, pfrac) per itemp is cast to f32; else each
+    gather result is cast to f32 immediately.
+    """
     b = pl.program_id(1)
     dtype = tau_s.dtype
     eps = np.finfo(np.float32).eps
@@ -51,31 +51,13 @@ def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     flo = flav_ref[2 * b]
     fhi = flav_ref[2 * b + 1]
 
-    if use_sel:
-        tropo3 = desc_ref[2, :, :][None, :, :] > 0.5
-        for k, base in ((0, TE0), (2, FE0), (4, CM0)):
-            lo = desc_ref[pl.ds(base + 2 * flo, 2), :, :]
-            hi = desc_ref[pl.ds(base + 2 * fhi, 2), :, :]
-            sel_s[k:k + 2, :, :] = jnp.where(tropo3, lo, hi)
-
     def build_layer(l, _):
         fp = desc_ref[0, l, :][None, :]
-        if use_jpin:
-            jp0 = jpin_ref[0, 0, l]
-            uniform = jpin_ref[0, 1, l] != 0
-        else:
-            jp = desc_ref[1, l, :].astype(jnp.int32)
-            jp0 = jnp.min(jp)
-            uniform = jnp.max(jp) == jp0
+        tropo = desc_ref[2, l, :]
+        jp0 = jpin_ref[0, 0, l]
+        uniform = jpin_ref[0, 1, l] != 0
 
         def fields(it):
-            if use_sel:
-                return (sel_s[0 + it, l, :].astype(jnp.int32),
-                        sel_s[2 + it, l, :][None, :],
-                        sel_s[4 + it, l, :][None, :],
-                        desc_ref[3 + it, l, :][None, :])
-            tropo = desc_ref[2, l, :]
-
             def sel(base):
                 return jnp.where(tropo > 0.5,
                                  desc_ref[base + 2 * flo + it, l, :],
@@ -87,6 +69,7 @@ def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
             acc = None
             for it in range(2):
                 pres, cmv, ftv = pres_of_it(it)
+                pres = pres.astype(dtype)
                 term = jnp.concatenate(
                     [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]], axis=0)
                 acc = term if acc is None else acc + term
@@ -101,6 +84,14 @@ def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                 te, fe, cmv, ftv = fields(it)
                 g0 = _gather_rows(slab, te)
                 g1 = _gather_rows(slab, te + 1)
+                if bf_combine:
+                    feb = fe.astype(jnp.bfloat16)
+                    fpb = fp.astype(jnp.bfloat16)
+                    kk = (1 - feb) * g0 + feb * g1
+                    return ((1 - fpb) * kk[:ntw, :] + fpb * kk[ntw:, :],
+                            cmv, ftv)
+                g0 = g0.astype(dtype)
+                g1 = g1.astype(dtype)
                 kk = (1.0 - fe) * g0 + fe * g1
                 return ((1.0 - fp) * kk[:ntw, :] + fp * kk[ntw:, :],
                         cmv, ftv)
@@ -115,8 +106,8 @@ def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
             def pres_of_it(it):
                 te, fe, cmv, ftv = fields(it)
-                g0 = _gather_rows(slab, te)
-                g1 = _gather_rows(slab, te + 1)
+                g0 = _gather_rows(slab, te).astype(dtype)
+                g1 = _gather_rows(slab, te + 1).astype(dtype)
                 kk = (1.0 - fe) * g0 + fe * g1
                 sel0 = jnp.zeros((ntw, _BC), kk.dtype)
                 sel1 = jnp.zeros((ntw, _BC), kk.dtype)
@@ -219,11 +210,11 @@ def _kernel_v3(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         dn_ref[:, :] += bb_dn
 
 
-def _solve_v(flav, desc, msc, table_lane,
-             mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
-             emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
-             nflav, band_minors, cloud_tau_abs=None,
-             interpret: bool = False, use_jpin=True, use_sel=True):
+def _solve_bf(flav, desc, msc, table_lane,
+              mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
+              emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
+              nflav, band_minors, cloud_tau_abs=None,
+              interpret: bool = False, bf_combine=False):
     dtype = desc.dtype
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
@@ -237,19 +228,19 @@ def _solve_v(flav, desc, msc, table_lane,
     dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
                      jnp.asarray(weight, dtype).reshape(())])
 
+    table_bf = table_lane.astype(jnp.bfloat16)
+
     desc_p = padc_e(desc)
-    # per-(block, layer) pressure-window info: jp0 and the uniform flag
-    jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
+    jp_all = desc_p[1].astype(jnp.int32)
     jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
-    jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
+    jp0 = jnp.min(jp_blk, axis=-1).T
     jpmax = jnp.max(jp_blk, axis=-1).T
     jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
 
     kern = functools.partial(
-        _kernel_v3, nlay=nlay, w=w, pspan=PSPAN,
+        _kernel_bf, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, ncont_lo=mtab_lo.shape[0] // 2,
-        nflav=nflav, with_cloud=with_cloud, use_jpin=use_jpin,
-        use_sel=use_sel)
+        nflav=nflav, with_cloud=with_cloud, bf_combine=bf_combine)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -271,7 +262,7 @@ def _solve_v(flav, desc, msc, table_lane,
             pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             cb_rows(desc), cb_rows(msc),
-            pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
+            pl.BlockSpec((1, table_bf.shape[1], LANE_ROWS_MAX),
                          lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
             resident(mtab_lo), resident(mtab_up),
             band3(nlay), band3(nlev),
@@ -288,21 +279,19 @@ def _solve_v(flav, desc, msc, table_lane,
         out_specs=[obb, obb],
         out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 2,
         scratch_shapes=[scr(nlay), scr(nlay), scr(nlay), scr(nlay),
-                        scr(nlev), scr(nlev),
-                        pltpu.VMEM((6, nlay, _BC), dtype)],
+                        scr(nlev), scr(nlev)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dsw, flav, jpin, desc_p, padc(msc),
-      table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
+      table_bf, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
     return up[:, :ncol], dn[:, :ncol]
 
 
 VARIANTS = {
-    "v_sel": functools.partial(_solve_v, use_jpin=False, use_sel=True),
-    "v_jpin": functools.partial(_solve_v, use_jpin=True, use_sel=False),
-    "v_both": functools.partial(_solve_v, use_jpin=True, use_sel=True),
+    "v_bf16tab": functools.partial(_solve_bf, bf_combine=False),
+    "v_bf16mix": functools.partial(_solve_bf, bf_combine=True),
     "nominors": lambda *a, **k: lw_fused_gas_optics_solve(
         *a, **{**k, "band_minors": ((),) * k["nbnd"]}),
     "nocloud": lambda *a, **k: lw_fused_gas_optics_solve(
