@@ -132,15 +132,18 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
     jax.lax.fori_loop(0, nlay, dn_sweep, 0)
 
     if band_width is not None:
-        # per-band sums: each g-point block writes its own band slice
-        # (reference sum_byband, mo_fluxes_byband.F90:159-190, in-solver)
+        # per-band lane-group sums written to static band-major slices
+        # (reference sum_byband, mo_fluxes_byband.F90:159-190, in-solver);
+        # output blocked (gpt-block, col-block, bands-per-block * nlev)
         nb = fup_s.shape[-1] // band_width
-        bcol, nlev = fup_s.shape[0], fup_s.shape[1]
-        grouped = lambda x: jnp.sum(
-            x.reshape(bcol, nlev, nb, band_width), axis=-1)
-        up_ref[:, :, :] = grouped(fup_s[:, :, :])
-        dn_ref[:, :, :] = grouped(fdn_s[:, :, :] + dirlev[:, :, :])
-        dir_ref[:, :, :] = grouped(dirlev[:, :, :])
+        nlev = fup_s.shape[1]
+        for j in range(nb):
+            sl = slice(j * band_width, (j + 1) * band_width)
+            out_sl = slice(j * nlev, (j + 1) * nlev)
+            up_ref[0, :, out_sl] = jnp.sum(fup_s[:, :, sl], axis=-1)
+            dn_ref[0, :, out_sl] = jnp.sum(
+                fdn_s[:, :, sl] + dirlev[:, :, sl], axis=-1)
+            dir_ref[0, :, out_sl] = jnp.sum(dirlev[:, :, sl], axis=-1)
     else:
         # broadband reduction over the g-point lanes; accumulate over
         # g blocks
@@ -210,10 +213,11 @@ def sw_two_stream_broadband_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         oshape = jax.ShapeDtypeStruct((ncol_p, nlev), dtype)
     else:
         nbpb = _BGPT // band_width
-        nbnd_p = ngpt_p // band_width
-        ospec = pl.BlockSpec((_BCOL, nlev, nbpb), lambda c, b: (c, 0, b),
+        ngb = ngpt_p // _BGPT
+        ospec = pl.BlockSpec((1, _BCOL, nbpb * nlev),
+                             lambda c, b: (b, c, 0),
                              memory_space=pltpu.VMEM)
-        oshape = jax.ShapeDtypeStruct((ncol_p, nlev, nbnd_p), dtype)
+        oshape = jax.ShapeDtypeStruct((ngb, ncol_p, nbpb * nlev), dtype)
 
     up, dn, fdir = pl.pallas_call(
         kern,
@@ -234,5 +238,9 @@ def sw_two_stream_broadband_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     )(tau_p, ssa_p, g_p, mu0_p, albdir, albdif, inc, incdif)
     if band_width is not None:
         nbnd = ngpt // band_width
-        return up[:ncol, :, :nbnd], dn[:ncol, :, :nbnd], fdir[:ncol, :, :nbnd]
+        nbpb = _BGPT // band_width
+        unblk = lambda x: jnp.transpose(
+            x.reshape(x.shape[0], x.shape[1], nbpb, nlev),
+            (1, 3, 0, 2)).reshape(x.shape[1], nlev, -1)[:ncol, :, :nbnd]
+        return unblk(up), unblk(dn), unblk(fdir)
     return up[:ncol], dn[:ncol], fdir[:ncol]

@@ -413,13 +413,37 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top):
 
 def lw_solver_2stream(tau, ssa, g, lay_source, lev_source, sfc_emis, sfc_src,
                       inc_flux, *, top_at_1: bool,
-                      spectral: bool = False) -> LWFluxes:
+                      spectral: bool = False,
+                      byband_width=None) -> LWFluxes:
     """True two-stream LW solve (reference rte_lw_solver_2stream,
     mo_rte_solver_kernels.F90:377-440)."""
+    ngpt = tau.shape[-1]
+    if byband_width is not None and (byband_width <= 0
+                                     or ngpt % byband_width != 0):
+        raise ValueError(f"lw_solver_2stream: byband_width {byband_width} "
+                         f"does not tile ngpt {ngpt}")
     if not top_at_1:
         tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
         lay_source = _flip_lay(lay_source)
         lev_source = _flip_lay(lev_source)
+
+    if not spectral:
+        # fused Pallas kernel: coefficients + Toon sources + adding +
+        # broadband/byband reduction in VMEM (auto on TPU)
+        from ..config import get_config, on_tpu as _on_tpu
+        on_tpu = _on_tpu()
+        cfg = get_config().use_pallas
+        kernel_byband = byband_width is not None and 128 % byband_width == 0
+        if ((on_tpu if cfg is None else cfg)
+                and (byband_width is None or kernel_byband)):
+            from .pallas.solver_lw_kernel import lw_two_stream_broadband_lane
+            up, dn = lw_two_stream_broadband_lane(
+                tau, ssa, g, lay_source, lev_source, sfc_emis, sfc_src,
+                inc_flux, band_width=byband_width, interpret=not on_tpu)
+            if not top_at_1:
+                up = jnp.flip(up, axis=1)
+                dn = jnp.flip(dn, axis=1)
+            return LWFluxes(flux_up=up, flux_dn=dn, flux_up_jac=None)
 
     gamma1, gamma2, rdif, tdif = lw_two_stream(tau, ssa, g)
     lev_top = lev_source[:, :-1, :]
@@ -431,8 +455,14 @@ def lw_solver_2stream(tau, ssa, g, lay_source, lev_source, sfc_emis, sfc_src,
     flux_up, flux_dn = adding(sfc_albedo, rdif, tdif, src_dn, src_up,
                               src_sfc, inc_flux)
     if not spectral:
-        flux_up = jnp.sum(flux_up, axis=-1)
-        flux_dn = jnp.sum(flux_dn, axis=-1)
+        if byband_width is not None:
+            nb = ngpt // byband_width
+            group = lambda x: jnp.sum(x.reshape(
+                x.shape[0], x.shape[1], nb, byband_width), axis=-1)
+            flux_up, flux_dn = group(flux_up), group(flux_dn)
+        else:
+            flux_up = jnp.sum(flux_up, axis=-1)
+            flux_dn = jnp.sum(flux_dn, axis=-1)
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)
         flux_dn = jnp.flip(flux_dn, axis=1)

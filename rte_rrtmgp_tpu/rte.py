@@ -127,8 +127,8 @@ def rte_lw(optical_props: OpticalProps,
             optical_props.tau, optical_props.ssa, optical_props.g,
             sources.lay_source, sources.lev_source, sfc_emis_g,
             sources.sfc_source, inc, top_at_1=top_at_1,
-            spectral=spectral or byband)
-        if byband:
+            spectral=spectral or reduce_byband, byband_width=bw)
+        if reduce_byband:
             res = type(res)(flux_up=sum_byband(res.flux_up, grid),
                             flux_dn=sum_byband(res.flux_dn, grid),
                             flux_up_jac=res.flux_up_jac)

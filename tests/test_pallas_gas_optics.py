@@ -329,3 +329,39 @@ def test_pallas_lw_multiangle_and_lwds_match_xla():
                 np.asarray(getattr(out, name)),
                 np.asarray(getattr(ref, name)), rtol=1e-10, atol=1e-12,
                 err_msg=f"{name} {kw.keys()}")
+
+
+def test_pallas_lw_two_stream_matches_xla():
+    """The LW true-two-stream lane kernel (rte_lw(use_2stream=True))
+    matches the XLA solve, broadband and byband."""
+    from rte_rrtmgp_tpu import (OpticalProps2str, SourcesLW, SpectralGrid,
+                                rte_lw)
+
+    rng = np.random.default_rng(4)
+    ncol, nlay, ngpt = 7, 11, 16
+    grid = SpectralGrid.from_arrays(
+        [[0.0, 1500.0], [1500.0, 3250.0]], [[1, 8], [9, 16]])
+    props = OpticalProps2str(
+        tau=jnp.asarray(rng.uniform(1e-3, 4.0, (ncol, nlay, ngpt))),
+        ssa=jnp.asarray(rng.uniform(0.0, 0.7, (ncol, nlay, ngpt))),
+        g=jnp.asarray(rng.uniform(0.0, 0.8, (ncol, nlay, ngpt))),
+        grid=grid)
+    src = SourcesLW(
+        lay_source=jnp.asarray(rng.uniform(10, 60, (ncol, nlay, ngpt))),
+        lev_source=jnp.asarray(rng.uniform(10, 60, (ncol, nlay + 1, ngpt))),
+        sfc_source=jnp.asarray(rng.uniform(30, 80, (ncol, ngpt))),
+        sfc_source_jac=jnp.zeros((ncol, ngpt)), grid=grid)
+    emis = jnp.asarray(rng.uniform(0.9, 1.0, (ncol, 1)))
+
+    set_use_pallas(False)
+    ref = rte_lw(props, src, emis, use_2stream=True)
+    ref_bb = rte_lw(props, src, emis, use_2stream=True, byband=True)
+    set_use_pallas(True)
+    out = rte_lw(props, src, emis, use_2stream=True)
+    out_bb = rte_lw(props, src, emis, use_2stream=True, byband=True)
+    for a, b in ((out.flux_up, ref.flux_up), (out.flux_dn, ref.flux_dn),
+                 (out_bb.flux_up, ref_bb.flux_up),
+                 (out_bb.flux_dn, ref_bb.flux_dn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
+    assert out_bb.flux_up.shape == (ncol, nlay + 1, 2)
