@@ -143,48 +143,52 @@ class AerosolOpticsMERRA:
         rdrh = jnp.where(irh1 == irh2, 0.0,
                          drh1 / jnp.where(irh1 == irh2, 1.0, drh0))
 
-        # --- per-species (ext, ssa, g) fields, each (ncol, nlay, nbnd) ---
-        def dust():
-            t = jnp.take(self.dust_tbl, ibin, axis=1)   # (3, ncol, nlay, nbnd)
-            return t[_EXT], t[_SSA], t[_G]
+        # --- one gather from a flattened (species, rh, bin) row table ---
+        # The reference's per-cell case dispatch would otherwise evaluate
+        # every species' full (ncol, nlay, nbnd) field (the salt branch
+        # alone materializes (3, nrh, ncol, nlay, nbnd) ~ GBs at
+        # production sizes). Instead, the small LUTs are concatenated
+        # into one (nrows, 3*nbnd) row table at row offsets known per
+        # species, the per-cell (type, ibin, irh) state becomes TWO row
+        # indices (the rh pair), and a pair of row gathers + the rh lerp
+        # produces (ext, ssa, g) for every cell. Row 0 is zero (no/unknown
+        # aerosol type). Numerics identical to the per-species branches.
+        nbin, nrh = self.nbin, self.nrh
+        rows = [jnp.zeros((1, 3, nbnd), self.dust_tbl.dtype)]
+        off = {}
 
-        def salt():
-            # (3, nrh, nbin, nbnd) -> select bin -> rh interp
-            t = jnp.take(self.salt_tbl, ibin, axis=2)   # (3, nrh, ncol, nlay, nbnd)
-            t = jnp.moveaxis(t, 1, -2)                  # (3, ncol, nlay, nrh, nbnd)
-            lo = jnp.take_along_axis(t, irh1[None, :, :, None, None], axis=3)
-            hi = jnp.take_along_axis(t, irh2[None, :, :, None, None], axis=3)
-            v = (lo + rdrh[None, :, :, None, None] * (hi - lo))[:, :, :, 0, :]
-            return v[_EXT], v[_SSA], v[_G]
+        def add(name, block):
+            off[name] = sum(r.shape[0] for r in rows)
+            rows.append(block)
 
-        def rh_species(tbl):
-            # tbl: (3, nrh, nbnd): interp along rh per cell
-            lo = jnp.take(tbl, irh1, axis=1)            # (3, ncol, nlay, nbnd)
-            hi = jnp.take(tbl, irh2, axis=1)
-            v = lo + rdrh[None, :, :, None] * (hi - lo)
-            return v[_EXT], v[_SSA], v[_G]
+        add("dust", jnp.moveaxis(self.dust_tbl, 0, 1))          # (nbin, 3, nbnd)
+        add("salt", jnp.moveaxis(self.salt_tbl, 0, 2)           # (nrh*nbin, 3, nbnd)
+            .reshape(nrh * nbin, 3, nbnd))
+        add("sulf", jnp.moveaxis(self.sulf_tbl, 0, 1))          # (nrh, 3, nbnd)
+        add("bcar_rh", jnp.moveaxis(self.bcar_rh_tbl, 0, 1))
+        add("bcar", self.bcar_tbl[None])                        # (1, 3, nbnd)
+        add("ocar_rh", jnp.moveaxis(self.ocar_rh_tbl, 0, 1))
+        add("ocar", self.ocar_tbl[None])
+        table = jnp.concatenate(rows, axis=0).reshape(-1, 3 * nbnd)
 
-        def plain_species(tbl):
-            # tbl: (3, nbnd): broadcast
-            shp = atype.shape + (nbnd,)
-            return (jnp.broadcast_to(tbl[_EXT], shp),
-                    jnp.broadcast_to(tbl[_SSA], shp),
-                    jnp.broadcast_to(tbl[_G], shp))
+        def rows_of(irh):
+            r = jnp.zeros(atype.shape, jnp.int32)
+            for code, base, idx in (
+                    (MERRA_AERO_DUST, off["dust"], ibin),
+                    (MERRA_AERO_SALT, off["salt"], irh * nbin + ibin),
+                    (MERRA_AERO_SULF, off["sulf"], irh),
+                    (MERRA_AERO_BCAR_RH, off["bcar_rh"], irh),
+                    (MERRA_AERO_BCAR, off["bcar"], 0),
+                    (MERRA_AERO_OCAR_RH, off["ocar_rh"], irh),
+                    (MERRA_AERO_OCAR, off["ocar"], 0)):
+                r = jnp.where(atype == code, base + idx, r)
+            return r
 
-        species = {
-            MERRA_AERO_DUST: dust(),
-            MERRA_AERO_SALT: salt(),
-            MERRA_AERO_SULF: rh_species(self.sulf_tbl),
-            MERRA_AERO_BCAR_RH: rh_species(self.bcar_rh_tbl),
-            MERRA_AERO_BCAR: plain_species(self.bcar_tbl),
-            MERRA_AERO_OCAR_RH: rh_species(self.ocar_rh_tbl),
-            MERRA_AERO_OCAR: plain_species(self.ocar_tbl),
-        }
-        zero = jnp.zeros(atype.shape + (nbnd,), dtype)
-        t3 = atype[..., None]
-        ext = jnp.select([t3 == k for k in species], [v[0] for v in species.values()], zero)
-        ssa = jnp.select([t3 == k for k in species], [v[1] for v in species.values()], zero)
-        g = jnp.select([t3 == k for k in species], [v[2] for v in species.values()], zero)
+        lo = jnp.take(table, rows_of(irh1), axis=0)   # (ncol, nlay, 3*nbnd)
+        hi = jnp.take(table, rows_of(irh2), axis=0)
+        v = (lo + rdrh[..., None] * (hi - lo)).reshape(
+            atype.shape + (3, nbnd))
+        ext, ssa, g = v[..., _EXT, :], v[..., _SSA, :], v[..., _G, :]
 
         tau = mass[..., None] * ext
         taussa = tau * ssa

@@ -92,7 +92,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
         @pl.when(uniform)
         def _():
-            slab = tab_ref[0, pl.ds(jp0 * ntw, 2 * ntw), :]
+            slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
 
             def pres_of_it(it):
                 te, fe, cmv, ftv = fields(it)
@@ -108,7 +108,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         def _():
             jp = desc_ref[1, l, :].astype(jnp.int32)
             jpl = jnp.clip(jp - jp0, 0, pspan - 2)
-            slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]
+            slab = tab_ref[b, pl.ds(jp0 * ntw, pspan * ntw), :]
 
             def pres_of_it(it):
                 te, fe, cmv, ftv = fields(it)
@@ -283,8 +283,10 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
             pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             cb_rows(desc), cb_rows(msc),
-            pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
-                         lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # whole major table VMEM-resident (fetched ONCE per launch):
+            # a per-band block with the band grid dimension innermost
+            # would re-fetch ~2 MB on EVERY grid step (~1 GB/step)
+            resident(table_lane),
             resident(mtab_lo), resident(mtab_up),
             band3(nlay), band3(nlev),
             pl.BlockSpec((1, 1, _BC), lambda c, b: (b, 0, c),

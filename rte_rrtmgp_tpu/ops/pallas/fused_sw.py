@@ -98,16 +98,16 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
             fm1 = fe * ftv
             for atm in range(2):
                 lo = _gather_rows(
-                    rayl_ref[0, atm * 2 * w:atm * 2 * w + w, :], tr)
+                    rayl_ref[b, atm * 2 * w:atm * 2 * w + w, :], tr)
                 hi = _gather_rows(
-                    rayl_ref[0, (atm * 2 + 1) * w:(atm * 2 + 2) * w, :], tr)
+                    rayl_ref[b, (atm * 2 + 1) * w:(atm * 2 + 2) * w, :], tr)
                 k_atm[atm] = k_atm[atm] + fm0 * lo + fm1 * hi
         ray_s[:, l, :] = (tropo2 * k_atm[0]
                           + (1.0 - tropo2) * k_atm[1]) * rayscale
 
         @pl.when(uniform)
         def _():
-            slab = tab_ref[0, pl.ds(jp0 * ntw, 2 * ntw), :]
+            slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
 
             def pres_of_it(it):
                 te, fe, cmv, ftv = fields(it)
@@ -123,7 +123,7 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         def _():
             jp = desc_ref[1, l, :].astype(jnp.int32)
             jpl = jnp.clip(jp - jp0, 0, pspan - 2)
-            slab = tab_ref[0, pl.ds(jp0 * ntw, pspan * ntw), :]
+            slab = tab_ref[b, pl.ds(jp0 * ntw, pspan * ntw), :]
 
             def pres_of_it(it):
                 te, fe, cmv, ftv = fields(it)
@@ -261,11 +261,12 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
             pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             cb_rows(desc), cb_rows(msc),
-            pl.BlockSpec((1, table_lane.shape[1], LANE_ROWS_MAX),
-                         lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # whole major + rayleigh tables VMEM-resident (fetched once
+            # per launch; per-band blocks with band innermost re-fetch
+            # on every grid step -- see fused_lw.py)
+            resident(table_lane),
             resident(mtab_lo), resident(mtab_up),
-            pl.BlockSpec((1, rayl_lane.shape[1], LANE_ROWS_MAX),
-                         lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            resident(rayl_lane),
             band3(nlay), band3(nlay), band3(nlay),
             vmu, bnd2, bnd2, bnd2, bnd2,
         ],
