@@ -166,7 +166,8 @@ def _combine_band_2str(a, b, dtype):
 def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
                          cloud_optics=None, use_clouds=True,
                          aerosol_optics=None,
-                         use_aerosols=False) -> Optional[Fluxes]:
+                         use_aerosols=False,
+                         byband=False) -> Optional[Fluxes]:
     """Fused lane-layout LW step: gas optics, cloud + aerosol increments,
     and the no-scattering solve all in the gathers' native
     (ngpt, nlay, ncol) layout (see ops/pallas/solver_lanes.py). Returns
@@ -206,10 +207,17 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
         fused0 = gas_optics.lw_fused_solve(
             inputs.play, inputs.plev, inputs.tlay, inputs.tsfc,
             inputs.gas_concs, sfc_emis=emis0, tlev=inputs.tlev,
-            cloud_tau_abs=cld_abs0, ds=_DS[0][0], weight=_WT[0][0])
+            cloud_tau_abs=cld_abs0, ds=_DS[0][0], weight=_WT[0][0],
+            byband=byband)
         if fused0 is not None:
-            up0, dn0 = fused0[0].T, fused0[1].T
+            # broadband (nlev, ncol) -> (ncol, nlev); byband
+            # (nbnd, nlev, ncol) -> (ncol, nlev, nbnd)
+            t = ((lambda x: jnp.transpose(x, (2, 1, 0))) if byband
+                 else (lambda x: x.T))
+            up0, dn0 = t(fused0[0]), t(fused0[1])
             return Fluxes(flux_up=up0, flux_dn=dn0, flux_net=dn0 - up0)
+    if byband:
+        return None      # byband is fused-path-only; caller falls back
 
     out = gas_optics.gas_optics_lw_lanes(
         inputs.play, inputs.plev, inputs.tlay, inputs.tsfc, inputs.gas_concs,
@@ -258,7 +266,8 @@ def allsky_step_lw_lanes(inputs: AllSkyInputs, gas_optics, *,
 def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
                          cloud_optics=None, use_clouds=True,
                          aerosol_optics=None,
-                         use_aerosols=False) -> Optional[Fluxes]:
+                         use_aerosols=False,
+                         byband=False) -> Optional[Fluxes]:
     """Fused lane-layout SW step: gas optics + Rayleigh, delta-scaled
     cloud + aerosol increments, and the two-stream solve in lane layout."""
     from ..ops.pallas.solver_lanes import (
@@ -299,11 +308,16 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
                                 (gas_optics.ngpt, ncol0))
         fused0 = gas_optics.sw_fused_solve(
             inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs,
-            mu0=mu0_0, sfc_alb_dir=alb0, sfc_alb_dif=alb0, cloud=cld_b)
+            mu0=mu0_0, sfc_alb_dir=alb0, sfc_alb_dif=alb0, cloud=cld_b,
+            byband=byband)
         if fused0 is not None:
-            up0, dn0, dir0 = fused0[0].T, fused0[1].T, fused0[2].T
+            t = ((lambda x: jnp.transpose(x, (2, 1, 0))) if byband
+                 else (lambda x: x.T))
+            up0, dn0, dir0 = t(fused0[0]), t(fused0[1]), t(fused0[2])
             return Fluxes(flux_up=up0, flux_dn=dn0, flux_net=dn0 - up0,
                           flux_dn_dir=dir0)
+    if byband:
+        return None      # byband is fused-path-only; caller falls back
 
     out = gas_optics.gas_optics_sw_lanes(
         inputs.play, inputs.plev, inputs.tlay, inputs.gas_concs,
@@ -361,7 +375,7 @@ def allsky_step_sw_lanes(inputs: AllSkyInputs, gas_optics, *,
 
 def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                    aerosol_optics=None, use_clouds=True,
-                   use_aerosols=False) -> Fluxes:
+                   use_aerosols=False, byband=False) -> Fluxes:
     """One LW all-sky step (reference timed loop :368-380): cloud optics
     (absorption-only), aerosol optics, gas optics + Planck sources,
     increments, rescaled no-scattering solve with broadband output."""
@@ -373,7 +387,8 @@ def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                                      cloud_optics=cloud_optics,
                                      use_clouds=use_clouds,
                                      aerosol_optics=aerosol_optics,
-                                     use_aerosols=use_aerosols)
+                                     use_aerosols=use_aerosols,
+                                     byband=byband)
         if fused is not None:
             return fused
     props, sources = gas_optics.gas_optics_lw(
@@ -394,12 +409,12 @@ def allsky_step_lw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                                             inputs.aero_mass, inputs.relhum,
                                             scattering=False)
         props = increment(props, aer)
-    return rte_lw(props, sources, inputs.sfc_emis)
+    return rte_lw(props, sources, inputs.sfc_emis, byband=byband)
 
 
 def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                    aerosol_optics=None, use_clouds=True,
-                   use_aerosols=False) -> Fluxes:
+                   use_aerosols=False, byband=False) -> Fluxes:
     """One SW all-sky step (reference :388-404): two-stream clouds are
     delta-scaled before incrementing the gas optics."""
     if (_lanes_active()
@@ -410,7 +425,8 @@ def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
                                      cloud_optics=cloud_optics,
                                      use_clouds=use_clouds,
                                      aerosol_optics=aerosol_optics,
-                                     use_aerosols=use_aerosols)
+                                     use_aerosols=use_aerosols,
+                                     byband=byband)
         if fused is not None:
             return fused
     props, toa = gas_optics.gas_optics_sw(
@@ -427,4 +443,5 @@ def allsky_step_sw(inputs: AllSkyInputs, gas_optics, *, cloud_optics=None,
         aer = aerosol_optics.aerosol_optics(inputs.aero_type, inputs.aero_size,
                                             inputs.aero_mass, inputs.relhum)
         props = increment(props, delta_scale(aer))
-    return rte_sw(props, inputs.mu0, toa, inputs.sfc_alb, inputs.sfc_alb)
+    return rte_sw(props, inputs.mu0, toa, inputs.sfc_alb, inputs.sfc_alb,
+                  byband=byband)

@@ -433,7 +433,7 @@ class GasOpticsRRTMGP:
 
     def lw_fused_solve(self, play, plev, tlay, tsfc, gas_concs: GasConcs,
                        *, sfc_emis, inc_flux=None, tlev=None, col_dry=None,
-                       cloud_tau_abs=None, ds, weight):
+                       cloud_tau_abs=None, ds, weight, byband=False):
         """The grand fused LW path: gas optics AND the no-scattering
         transport solve in one Pallas kernel (ops/pallas/fused_lw.py) —
         the spectral tau/pfrac/source fields never touch HBM.
@@ -482,12 +482,14 @@ class GasOpticsRRTMGP:
             coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
             idx_h2o=idx_h2o, pb_lay=pb(tlay.T), pb_lev=pb(tlev_w.T),
             pb_sfc=pb(tsfc), emis=sfc_emis, inc=inc, ds=ds, weight=weight,
-            cloud_tau_abs=cloud_tau_abs, interpret=not on_tpu)
+            cloud_tau_abs=cloud_tau_abs, byband=byband,
+            interpret=not on_tpu)
         return self._apply_poison(out, poison)
 
     def sw_fused_solve(self, play, plev, tlay, gas_concs: GasConcs, *,
                        mu0, sfc_alb_dir, sfc_alb_dif, inc_flux=None,
-                       inc_flux_dif=None, col_dry=None, cloud=None):
+                       inc_flux_dif=None, col_dry=None, cloud=None,
+                       byband=False):
         """The grand fused SW path: gas optics (major + minors +
         Rayleigh), cloud increment, and the two-stream solve in one
         Pallas kernel (ops/pallas/fused_sw.py).
@@ -532,7 +534,7 @@ class GasOpticsRRTMGP:
             coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
             col_dry_c=col_dry_w.T, idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
             sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
-            incdif=inc_flux_dif, interpret=not on_tpu)
+            incdif=inc_flux_dif, byband=byband, interpret=not on_tpu)
         return self._apply_poison(out, poison)
 
     # ------------------------------------------------------------------

@@ -420,7 +420,8 @@ def _minor_tables(kd, dtype):
 
 def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
                    pb_lay, pb_lev, pb_sfc, emis, inc, ds, weight,
-                   cloud_tau_abs=None, interpret: bool = False):
+                   cloud_tau_abs=None, byband: bool = False,
+                   interpret: bool = False):
     """Build descriptors and run the grand fused LW gas-optics + solve
     kernel (ops/pallas/fused_lw.py). All cell inputs are layer-major
     (nlay, ncol); pb_* by band; emis/inc (ngpt, ncol).
@@ -482,7 +483,7 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
         emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
         ds=ds, weight=weight, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
         nflav=nflav, band_minors=tuple(band_minors),
-        cloud_tau_abs=cloud_tau_abs, interpret=interpret)
+        cloud_tau_abs=cloud_tau_abs, byband=byband, interpret=interpret)
 
 
 LANE_ROWS_MAX_F = 128
@@ -490,7 +491,8 @@ LANE_ROWS_MAX_F = 128
 
 def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
                    idx_h2o, cloud, mu0, sfc_alb_dir, sfc_alb_dif, inc,
-                   incdif=None, interpret: bool = False):
+                   incdif=None, byband: bool = False,
+                   interpret: bool = False):
     """Build descriptors and run the grand fused SW gas-optics + two-stream
     kernel (ops/pallas/fused_sw.py). Cell inputs layer-major (nlay, ncol);
     cloud = by-band delta-scaled (tau, ssa, g) or None; mu0 (nlay, ncol);
@@ -559,4 +561,4 @@ def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
         inc.reshape(nbnd, w, ncol), incdif_w.reshape(nbnd, w, ncol),
         nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav, ngpt=ngpt,
         band_minors=tuple(band_minors), band_g0=tuple(band_g0),
-        interpret=interpret)
+        byband=byband, interpret=interpret)

@@ -44,7 +44,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                      up_ref, dn_ref,
                      tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
                      nlay, w, pspan, band_minors, ncont_lo, nflav,
-                     with_cloud):
+                     with_cloud, byband=False):
     b = pl.program_id(1)
     dtype = tau_s.dtype
     eps = np.finfo(np.float32).eps
@@ -211,27 +211,35 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     bb_up = piw * jnp.sum(rup_s[:, :, :], axis=0)
     bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=0)
 
-    @pl.when(b == 0)
-    def _():
-        up_ref[:, :] = bb_up
-        dn_ref[:, :] = bb_dn
+    if byband:
+        # each band IS a grid step: write its own (nlev, ncol) slice
+        # (reference ty_fluxes_byband, mo_fluxes_byband.F90:159-219)
+        up_ref[0, :, :] = bb_up
+        dn_ref[0, :, :] = bb_dn
+    else:
+        @pl.when(b == 0)
+        def _():
+            up_ref[:, :] = bb_up
+            dn_ref[:, :] = bb_dn
 
-    @pl.when(b != 0)
-    def _():
-        up_ref[:, :] += bb_up
-        dn_ref[:, :] += bb_dn
+        @pl.when(b != 0)
+        def _():
+            up_ref[:, :] += bb_up
+            dn_ref[:, :] += bb_dn
 
 
 def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                               mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
                               emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
                               nflav, band_minors, cloud_tau_abs=None,
+                              byband: bool = False,
                               interpret: bool = False):
     """Run the fused gas-optics + LW solve. All per-cell descriptor arrays
     arrive reshaped (rows, nlay, ncol) layer-major; see the builder in
     ops/gas_optics_pallas.lw_fused_lanes for their exact contents.
     flav: (2*nbnd,) int32 per-band (flavor_lower, flavor_upper) SMEM table.
-    Returns (flux_up, flux_dn), each (nlay+1, ncol), top at index 0."""
+    Returns (flux_up, flux_dn), each (nlay+1, ncol) top at index 0, or
+    (nbnd, nlay+1, ncol) per-band sums with ``byband``."""
     dtype = desc.dtype
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
@@ -261,7 +269,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     kern = functools.partial(
         _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, ncont_lo=mtab_lo.shape[0] // 2,
-        nflav=nflav, with_cloud=with_cloud)
+        nflav=nflav, with_cloud=with_cloud, byband=byband)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -271,8 +279,14 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
-                       memory_space=pltpu.VMEM)
+    if byband:
+        obb = pl.BlockSpec((1, nlev, _BC), lambda c, b: (b, 0, c),
+                           memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((nbnd, nlev, ncol_p), dtype)
+    else:
+        obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
+                           memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((nlev, ncol_p), dtype)
     scr = lambda nl: pltpu.VMEM((w, nl, _BC), dtype)
 
     up, dn = pl.pallas_call(
@@ -300,7 +314,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[obb, obb],
-        out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 2,
+        out_shape=[oshape] * 2,
         scratch_shapes=[scr(nlay), scr(nlay), scr(nlay), scr(nlay),
                         scr(nlev), scr(nlev)],
         # the per-column-block descriptor blocks (minor idx/weights/
@@ -312,4 +326,6 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     )(dsw, flav, jpin, desc_p, padc(msc),
       table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
+    if byband:
+        return up[:, :, :ncol], dn[:, :, :ncol]
     return up[:, :ncol], dn[:, :ncol]

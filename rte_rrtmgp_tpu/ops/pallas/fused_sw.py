@@ -41,7 +41,7 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                      dirlev, sdn_s, sup_s, rdif_s, tdif_s,
                      alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *,
                      nlay, w, pspan, band_minors, band_g0, ncont_lo, nflav,
-                     ngpt, with_cloud):
+                     ngpt, with_cloud, byband=False):
     b = pl.program_id(1)
     dtype = tau_s.dtype
     tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
@@ -197,7 +197,8 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
              albdif_ref[0, :, :], inc_ref[0, :, :], incdif_ref[0, :, :],
              up_ref, dn_ref, dir_ref,
              dirlev, sdn_s, sup_s, rdif_s, tdif_s,
-             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay)
+             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay,
+             byband=byband)
 
 
 def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
@@ -205,11 +206,13 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
                               mu0, sfc_alb_dir, sfc_alb_dif, inc, incdif, *,
                               nbnd, w, nlay, ncol, nflav, ngpt,
                               band_minors, band_g0,
+                              byband: bool = False,
                               interpret: bool = False):
     """Run the fused gas-optics + SW two-stream solve. desc rows:
     [fp, jp, tropo, ft0, ft1, rayscale, te(2*nflav), fe(2*nflav),
     cm(2*nflav)]. cloud: by-band delta-scaled (tau, ssa, g) or None.
-    Returns (flux_up, flux_dn_total, flux_dir), each (nlay+1, ncol)."""
+    Returns (flux_up, flux_dn_total, flux_dir), each (nlay+1, ncol), or
+    per-band (nbnd, nlay+1, ncol) with ``byband``."""
     dtype = desc.dtype
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
@@ -233,7 +236,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         _fused_sw_kernel, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, band_g0=band_g0,
         ncont_lo=mtab_lo.shape[0] // 2, nflav=nflav, ngpt=ngpt,
-        with_cloud=with_cloud)
+        with_cloud=with_cloud, byband=byband)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -249,8 +252,14 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmu = pl.BlockSpec((nlay, _BC), lambda c, b: (0, c),
                        memory_space=pltpu.VMEM)
-    obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
-                       memory_space=pltpu.VMEM)
+    if byband:
+        obb = pl.BlockSpec((1, nlev, _BC), lambda c, b: (b, 0, c),
+                           memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((nbnd, nlev, ncol_p), dtype)
+    else:
+        obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
+                           memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((nlev, ncol_p), dtype)
     scr = lambda nl: pltpu.VMEM((w, nl, _BC), dtype)
 
     up, dn, fdir = pl.pallas_call(
@@ -271,7 +280,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
             vmu, bnd2, bnd2, bnd2, bnd2,
         ],
         out_specs=[obb, obb, obb],
-        out_shape=[jax.ShapeDtypeStruct((nlev, ncol_p), dtype)] * 3,
+        out_shape=[oshape] * 3,
         scratch_shapes=[scr(nlay), scr(nlay),
                         scr(nlev), scr(nlay), scr(nlay),
                         scr(nlay), scr(nlay),
@@ -285,4 +294,6 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
       padc(cloud[0]), padc(cloud[1]), padc(cloud[2]),
       padc_e(mu0), padc(sfc_alb_dir), padc(sfc_alb_dif), padc(inc),
       padc(incdif))
+    if byband:
+        return up[:, :, :ncol], dn[:, :, :ncol], fdir[:, :, :ncol]
     return up[:, :ncol], dn[:, :ncol], fdir[:, :ncol]

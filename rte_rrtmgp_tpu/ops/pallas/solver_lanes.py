@@ -372,7 +372,8 @@ def _sw_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref, albdif_ref,
 def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
              up_ref, dn_ref, dir_ref,
              dirlev, sdn_s, sup_s, rdif_s, tdif_s,
-             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay):
+             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, *, nlay,
+             byband=False):
     gb = pl.program_id(1)
     dtype = t.dtype
     eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
@@ -460,22 +461,28 @@ def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
 
     jax.lax.fori_loop(0, nlay, dn_sweep, 0)
 
-    # broadband: sum g-point rows; accumulate over g blocks
+    # broadband: sum g-point rows; accumulate over g blocks (or, byband,
+    # write this band's own output slice - used by the fused SW kernel)
     bb_up = jnp.sum(fup_s[:, :, :], axis=0)
     bb_dn = jnp.sum(fdn_s[:, :, :] + dirlev[:, :, :], axis=0)
     bb_dir = jnp.sum(dirlev[:, :, :], axis=0)
 
-    @pl.when(gb == 0)
-    def _():
-        up_ref[:, :] = bb_up
-        dn_ref[:, :] = bb_dn
-        dir_ref[:, :] = bb_dir
+    if byband:
+        up_ref[0, :, :] = bb_up
+        dn_ref[0, :, :] = bb_dn
+        dir_ref[0, :, :] = bb_dir
+    else:
+        @pl.when(gb == 0)
+        def _():
+            up_ref[:, :] = bb_up
+            dn_ref[:, :] = bb_dn
+            dir_ref[:, :] = bb_dir
 
-    @pl.when(gb != 0)
-    def _():
-        up_ref[:, :] += bb_up
-        dn_ref[:, :] += bb_dn
-        dir_ref[:, :] += bb_dir
+        @pl.when(gb != 0)
+        def _():
+            up_ref[:, :] += bb_up
+            dn_ref[:, :] += bb_dn
+            dir_ref[:, :] += bb_dir
 
 
 def sw_two_stream_broadband_lanes(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,

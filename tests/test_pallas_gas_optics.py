@@ -365,3 +365,32 @@ def test_pallas_lw_two_stream_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-12)
     assert out_bb.flux_up.shape == (ncol, nlay + 1, 2)
+
+
+@pytest.mark.parametrize("sw", [False, True])
+def test_fused_allsky_byband_matches_generic(sw):
+    """allsky_step_*(byband=True): the grand fused kernels' in-kernel
+    per-band sums match the generic spectral+reduce path."""
+    from rte_rrtmgp_tpu.drivers.allsky import allsky_step_lw, allsky_step_sw
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+
+    kd = synthetic_kdist(sw=sw, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd.grid.band_lims_wvn_array)
+    inputs = make_allsky_inputs(128, 4, cloud_optics=cld)
+    step = allsky_step_sw if sw else allsky_step_lw
+
+    set_use_pallas(False)
+    ref = step(inputs, gop, cloud_optics=cld, byband=True)
+    set_use_pallas(True)
+    out = step(inputs, gop, cloud_optics=cld, byband=True)
+    assert out.flux_up.shape == (128, 5, 4)
+    for name in ("flux_up", "flux_dn") + (("flux_dn_dir",) if sw else ()):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=3e-5, atol=5e-4, err_msg=f"{name} sw={sw}")
+    # byband sums equal the broadband fluxes
+    bb = step(inputs, gop, cloud_optics=cld)
+    np.testing.assert_allclose(np.asarray(out.flux_up.sum(-1)),
+                               np.asarray(bb.flux_up), rtol=2e-5, atol=5e-4)
