@@ -59,6 +59,17 @@ class RTEConfig:
     # default a violation NaN-poisons the outputs (loud, cheap); set
     # this True to assert the property holds and skip the traced check.
     assume_pressure_window: bool = False
+    # Value checks (check_values) run eagerly on concrete arrays and are
+    # skipped when inputs are tracers (inside a user jax.jit) — the
+    # reference likewise disables them in performance paths
+    # (rrtmgp_allsky.F90:332-335). Set this True to ALSO enforce them
+    # under jit via jax.debug.callback: each check runs on the host with
+    # the runtime values and raises ValueError on violation (the error
+    # surfaces when the computation executes; adds a host round-trip per
+    # checked array — debugging aid, not a production setting). Requires
+    # a backend with host-callback support (CPU/TPU; not the axon
+    # tunnel plugin, which lacks send/recv callbacks).
+    check_values_traced: bool = False
 
 
 _CONFIG = RTEConfig()
@@ -68,12 +79,17 @@ def get_config() -> RTEConfig:
     return _CONFIG
 
 
-def set_checks(*, extents: bool | None = None, values: bool | None = None) -> None:
-    """Equivalent of reference ``rte_config_checks`` (mo_rte_config.F90:29-49)."""
+def set_checks(*, extents: bool | None = None, values: bool | None = None,
+               values_traced: bool | None = None) -> None:
+    """Equivalent of reference ``rte_config_checks`` (mo_rte_config.F90:29-49).
+    ``values_traced=True`` additionally enforces value checks inside jit
+    via host callbacks (see RTEConfig.check_values_traced)."""
     if extents is not None:
         _CONFIG.check_extents = extents
     if values is not None:
         _CONFIG.check_values = values
+    if values_traced is not None:
+        _CONFIG.check_values_traced = values_traced
 
 
 def set_use_pallas(value) -> None:

@@ -251,22 +251,36 @@ def to_1scl(props: OpticalProps) -> OpticalProps1scl:
 # ---------------------------------------------------------------------------
 
 def validate(props: OpticalProps) -> None:
-    """Eager value checks mirroring reference ``validate()``
+    """Value checks mirroring reference ``validate()``
     (mo_optical_props.F90: tau >= 0; ssa, g in bounds). Raises ValueError.
-    Silently skipped under jit (values are tracers; the reference likewise
-    disables check_values in performance paths, rrtmgp_allsky.F90:332-335)."""
+
+    Concrete arrays are checked eagerly. Under jit (tracer values) the
+    checks are skipped — the reference likewise disables check_values in
+    performance paths (rrtmgp_allsky.F90:332-335) — unless
+    ``config.set_checks(values_traced=True)``, in which case each check
+    runs at execution time through ``jax.debug.callback`` and raises with
+    the runtime values (a debugging aid: costs a host round-trip)."""
     import numpy as np
 
+    from .config import get_config
+
+    def check(tau, ssa, g):
+        tau = np.asarray(tau)
+        if np.any(tau < 0.0) or not np.all(np.isfinite(tau)):
+            raise ValueError("validate: tau values out of range (negative or non-finite)")
+        if ssa is not None:
+            ssa = np.asarray(ssa)
+            if np.any((ssa < 0.0) | (ssa > 1.0)):
+                raise ValueError("validate: ssa values out of range [0,1]")
+        if g is not None:
+            g = np.asarray(g)
+            if np.any((g < -1.0) | (g > 1.0)):
+                raise ValueError("validate: g values out of range [-1,1]")
+
+    ssa = props.ssa if isinstance(props, (OpticalProps2str, OpticalPropsNstr)) else None
+    g = props.g if isinstance(props, OpticalProps2str) else None
     if isinstance(props.tau, jax.core.Tracer):
+        if get_config().check_values_traced:
+            jax.debug.callback(check, props.tau, ssa, g)
         return
-    tau = np.asarray(props.tau)
-    if np.any(tau < 0.0) or not np.all(np.isfinite(tau)):
-        raise ValueError("validate: tau values out of range (negative or non-finite)")
-    if isinstance(props, (OpticalProps2str, OpticalPropsNstr)):
-        ssa = np.asarray(props.ssa)
-        if np.any((ssa < 0.0) | (ssa > 1.0)):
-            raise ValueError("validate: ssa values out of range [0,1]")
-    if isinstance(props, OpticalProps2str):
-        g = np.asarray(props.g)
-        if np.any((g < -1.0) | (g > 1.0)):
-            raise ValueError("validate: g values out of range [-1,1]")
+    check(props.tau, ssa, g)
