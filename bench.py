@@ -34,6 +34,15 @@ def main():
 
     from __graft_entry__ import _build
 
+    log = lambda m: print(f"# [{time.strftime('%H:%M:%S')}] {m}",
+                          file=sys.stderr, flush=True)
+    # tiny eager readback first: the axon tunnel sporadically wedges a
+    # process's first device interaction; surfacing it here lets the
+    # runner (scripts/tpu_run.py) detect the wedge fast and retry
+    import numpy as np
+    np.asarray(jax.numpy.zeros(8) + 1.0)
+    log("device ok")
+    log("building inputs...")
     step, inputs = _build(ncol=ncol, nlay=nlay, ngpt_lw=256, nbnd_lw=16,
                           ngpt_sw=224, nbnd_sw=14, ntemp=14, npres=59)
     step_jit = jax.jit(step)
@@ -45,8 +54,10 @@ def main():
         np.asarray(jax.device_get(out[0].ravel()[-1:]))
 
     # warmup / compile
+    log("compiling/warmup...")
     out = step_jit(inputs)
     force(out)
+    log("warm; timing...")
 
     # steady-state throughput: chain `inner` steps per timing window so
     # host dispatch overlaps device execution (the production regime —

@@ -83,8 +83,8 @@ def make_allsky_inputs(ncol: int, nlay: int, *, cloud_optics=None,
     aero_size = np.where(is_sulf, 0.2, np.where(is_dust, 0.5, 0.0))
     aero_mass = np.where(is_sulf, 1.0e-6, np.where(is_dust, 3.0e-5, 0.0))
     vmr_h2o = np.asarray(gas.get_vmr("h2o", ncol, nlay))
-    relhum = np.asarray(get_relhum(jnp.asarray(play), jnp.asarray(tlay),
-                                   jnp.asarray(vmr_h2o)))
+    # stay on the host: no eager device round-trip during input building
+    relhum = get_relhum(np.asarray(play), np.asarray(tlay), vmr_h2o)
 
     cast = lambda x: jnp.asarray(x, dtype)
     gas_cast = GasConcs(names=gas.names,

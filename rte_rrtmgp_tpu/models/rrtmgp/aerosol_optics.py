@@ -198,12 +198,17 @@ class AerosolOpticsMERRA:
 
 def get_relhum(play, tlay, vmr_h2o):
     """Layer relative humidity [0-1] from pressure/temperature/vmr
-    (reference examples/all-sky/rrtmgp_allsky.F90:744-786 get_relhum)."""
+    (reference examples/all-sky/rrtmgp_allsky.F90:744-786 get_relhum).
+
+    Works on numpy inputs without touching the device (host-side input
+    builders stay free of eager device round-trips)."""
     from ... import constants
+    xp = jnp if any(isinstance(a, jax.Array) for a in (play, tlay, vmr_h2o)) \
+        else np
     mwd = constants.m_h2o / constants.m_dry
     t_ref = 273.16
     mmr = vmr_h2o * mwd
     q = mmr / (1.0 + mmr)
-    q = jnp.maximum(1.0e-7, q)
-    es = jnp.exp(17.67 * (tlay - t_ref) / (tlay - 29.65))
+    q = xp.maximum(1.0e-7, q)
+    es = xp.exp(17.67 * (tlay - t_ref) / (tlay - 29.65))
     return 0.01 * (0.263 * play * q) / es

@@ -12,11 +12,25 @@ Per (column-block, band) grid step, entirely in VMEM:
   - the downward/upward transport recurrences,
   - the broadband reduction, accumulated across bands.
 
-The (ngpt, nlay, ncol) spectral fields (tau, pfrac, sources) NEVER touch
-HBM — on a 4096x72 case that removes ~1.2 GB of traffic per LW step.
+The (ngpt, nlay, ncol) spectral fields NEVER touch HBM — on a 4096x72
+case that removes ~1.2 GB of traffic per LW step.
 Reference numerics: gas_optical_depths_major/minor + compute_Planck_source
 + lw_solver_noscat_oneangle (rrtmgp/kernels/mo_gas_optics_rrtmgp_kernels
 .F90:345-501, :568-710; rte/kernels/mo_rte_solver_kernels.F90:51-240).
+
+Performance structure (docs/PERFORMANCE.md):
+  - scratches are LAYER-MAJOR (nlay, w, 128): every per-layer access in
+    the build/minor/transport loops is a contiguous 2-VREG tile slice
+    (the (w, nlay, 128) layout made each one w strided single-sublane
+    accesses; 18.5 -> 16.7 ms standalone),
+  - per-(block, layer) pressure-window base/uniformity AND the fpress
+    scalar/uniformity are precomputed into SMEM,
+  - fp-uniform fast path: when fpress is constant across the 128-column
+    block at a layer (shared pressure grids, incl. the reference's own
+    all-sky benchmark), the two pressure levels of the slab are
+    pre-lerped by the scalar fp BEFORE the eta/temp gathers — gathered
+    rows halve (256 -> 128 per layer), exactly (the trilinear interp is
+    linear in table values); 16.7 -> 15.5 ms standalone.
 
 Eligibility (caller falls back to the staged lane pipeline otherwise):
 uniform band width, layer-major cells, pressure window within PSPAN,
@@ -38,8 +52,8 @@ from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
 __all__ = ["lw_fused_gas_optics_solve"]
 
 
-def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
-                     tab_ref, mtab_lo_ref, mtab_up_ref,
+def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
+                     msc_ref, tab_ref, mtab_lo_ref, mtab_up_ref,
                      pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
                      up_ref, dn_ref,
                      tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
@@ -66,11 +80,14 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     def build_layer(l, _):
         fp = desc_ref[0, l, :][None, :]
         tropo = desc_ref[2, l, :]
-        # per-(block, layer) pressure-window base + uniformity, precomputed
-        # outside the kernel into SMEM (saves ~30% of the kernel: the
-        # per-layer cross-lane min/max reductions dominated the layer loop)
+        # per-(block, layer) pressure-window base + uniformity and the
+        # fpress scalar + uniformity, precomputed outside the kernel
+        # into SMEM (the in-kernel cross-lane min/max reductions cost
+        # ~30% of the kernel)
         jp0 = jpin_ref[0, 0, l]
         uniform = jpin_ref[0, 1, l] != 0
+        fp0 = fpin_ref[0, 0, l]
+        fpu = fpin_ref[0, 1, l] != 0.0
 
         def fields(it):
             def sel(base):
@@ -87,10 +104,25 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                 term = jnp.concatenate(
                     [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]], axis=0)
                 acc = term if acc is None else acc + term
-            tau_s[:, l, :] = acc[:w, :]
-            pf_s[:, l, :] = acc[w:, :]
+            tau_s[l, :, :] = acc[:w, :]
+            pf_s[l, :, :] = acc[w:, :]
 
-        @pl.when(uniform)
+        @pl.when(jnp.logical_and(uniform, fpu))
+        def _():
+            # fast path: pre-lerp the 2 pressure levels by the scalar fp
+            # before the eta/temp gathers (half the gathered rows)
+            slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
+            slab2 = (1.0 - fp0) * slab[:ntw, :] + fp0 * slab[ntw:, :]
+
+            def pres_of_it(it):
+                te, fe, cmv, ftv = fields(it)
+                g0 = _gather_rows(slab2, te)
+                g1 = _gather_rows(slab2, te + 1)
+                return ((1.0 - fe) * g0 + fe * g1, cmv, ftv)
+
+            combine(pres_of_it)
+
+        @pl.when(jnp.logical_and(uniform, jnp.logical_not(fpu)))
         def _():
             slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
 
@@ -156,7 +188,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                         hi = _gather_rows(
                             tref[ncont + start:ncont + start + wm, :], rr)
                         kk = kk + fm0 * lo + fm1 * hi
-                    tau_s[lg0:lg0 + wm, l, :] += scal * kk
+                    tau_s[l, lg0:lg0 + wm, :] += scal * kk
                 return 0
 
             jax.lax.fori_loop(0, nlay, minor_layer, 0)
@@ -164,18 +196,18 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     # ---- cloud increment (absorption-only, by band) ----
     tau = tau_s[:, :, :]
     if with_cloud:
-        tau = tau + cld_ref[0, :, :][None, :, :]
+        tau = tau + cld_ref[0, :, :][:, None, :]
 
     # ---- Planck sources from pfrac + band Planck values ----
     pf = pf_s[:, :, :]
-    pb_lay = pbl_ref[0, :, :][None, :, :]
-    pb_lev = pbv_ref[0, :, :][None, :, :]
+    pb_lay = pbl_ref[0, :, :][:, None, :]
+    pb_lev = pbv_ref[0, :, :][:, None, :]
     lay = pf * pb_lay
-    pf_in = jnp.sqrt(pf[:, 1:, :] * pf[:, :-1, :])
-    lev_top = jnp.concatenate([pf[:, :1, :], pf_in], axis=1) \
-        * pb_lev[:, :-1, :]
-    lev_bot = jnp.concatenate([pf_in, pf[:, -1:, :]], axis=1) \
-        * pb_lev[:, 1:, :]
+    pf_in = jnp.sqrt(pf[1:, :, :] * pf[:-1, :, :])
+    lev_top = jnp.concatenate([pf[:1, :, :], pf_in], axis=0) \
+        * pb_lev[:-1, :, :]
+    lev_bot = jnp.concatenate([pf_in, pf[-1:, :, :]], axis=0) \
+        * pb_lev[1:, :, :]
 
     # ---- transport (reference :51-240, :620-745) ----
     tl = tau * ds
@@ -184,32 +216,32 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     fact_big = (1.0 - trans) / jnp.maximum(tl, tiny) - trans
     fact_small = tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125))
     fact = jnp.where(tl > tau_thresh, fact_big, fact_small)
-    sdn_s[:, :, :] = (1.0 - trans) * lev_bot + 2.0 * fact * (lay - lev_bot)
-    sup_s[:, :, :] = (1.0 - trans) * lev_top + 2.0 * fact * (lay - lev_top)
+    sdn_s[:nlay, :, :] = (1.0 - trans) * lev_bot + 2.0 * fact * (lay - lev_bot)
+    sup_s[:nlay, :, :] = (1.0 - trans) * lev_top + 2.0 * fact * (lay - lev_top)
 
-    rdn_s[:, 0, :] = inc_ref[0, :, :] / piw
+    rdn_s[0, :, :] = inc_ref[0, :, :] / piw
 
     def down(l, _):
-        rdn_s[:, l + 1, :] = (tau_s[:, l, :] * rdn_s[:, l, :]
-                              + sdn_s[:, l, :])
+        rdn_s[l + 1, :, :] = (tau_s[l, :, :] * rdn_s[l, :, :]
+                              + sdn_s[l, :, :])
         return 0
 
     jax.lax.fori_loop(0, nlay, down, 0)
 
     emis = emis_ref[0, :, :]
-    sfc_src = pf[:, nlay - 1, :] * pbs_ref[0, 0, :][None, :]
-    rup_s[:, nlay, :] = (rdn_s[:, nlay, :] * (1.0 - emis) + emis * sfc_src)
+    sfc_src = pf[nlay - 1, :, :] * pbs_ref[0, 0, :][None, :]
+    rup_s[nlay, :, :] = (rdn_s[nlay, :, :] * (1.0 - emis) + emis * sfc_src)
 
     def up(i, _):
         v = nlay - 1 - i
-        rup_s[:, v, :] = (tau_s[:, v, :] * rup_s[:, v + 1, :]
-                          + sup_s[:, v, :])
+        rup_s[v, :, :] = (tau_s[v, :, :] * rup_s[v + 1, :, :]
+                          + sup_s[v, :, :])
         return 0
 
     jax.lax.fori_loop(0, nlay, up, 0)
 
-    bb_up = piw * jnp.sum(rup_s[:, :, :], axis=0)
-    bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=0)
+    bb_up = piw * jnp.sum(rup_s[:, :, :], axis=1)
+    bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=1)
 
     if byband:
         # each band IS a grid step: write its own (nlev, ncol) slice
@@ -258,13 +290,17 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
 
     desc_p = padc_e(desc)
     # per-(column-block, layer) pressure-window base index + uniform flag,
-    # precomputed here (cheap in XLA) so the kernel's layer loop does no
-    # cross-lane reductions
+    # and the fpress scalar + uniform flag, precomputed here (cheap in
+    # XLA) so the kernel's layer loop does no cross-lane reductions
     jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
     jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
     jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
     jpmax = jnp.max(jp_blk, axis=-1).T
     jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
+    fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
+    fp0 = fp_blk[:, :, 0].T
+    fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
+    fpin = jnp.stack([fp0.astype(desc_p.dtype), fpu], 1)
 
     kern = functools.partial(
         _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,
@@ -279,6 +315,8 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem_cl = lambda r: pl.BlockSpec((1, r, nlay), lambda c, b: (c, 0, 0),
+                                     memory_space=pltpu.SMEM)
     if byband:
         obb = pl.BlockSpec((1, nlev, _BC), lambda c, b: (b, 0, c),
                            memory_space=pltpu.VMEM)
@@ -287,15 +325,14 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
                            memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((nlev, ncol_p), dtype)
-    scr = lambda nl: pltpu.VMEM((w, nl, _BC), dtype)
+    # layer-major scratches: per-layer slices are contiguous tiles
+    scr = lambda nl: pltpu.VMEM((nl, w, _BC), dtype)
 
     up, dn = pl.pallas_call(
         kern,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
-            smem, smem,
-            pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem, smem, smem_cl(2), smem_cl(2),
             cb_rows(desc), cb_rows(msc),
             # whole major table VMEM-resident (fetched ONCE per launch):
             # a per-band block with the band grid dimension innermost
@@ -323,7 +360,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dsw, flav, jpin, desc_p, padc(msc),
+    )(dsw, flav, jpin, fpin, desc_p, padc(msc),
       table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
       padc(pb_sfc), padc(cld), padc(emis), padc(inc))
     if byband:

@@ -14,6 +14,10 @@ Per (column-block, band) grid step, entirely in VMEM:
 Reference numerics: gas_optical_depths_major/minor, compute_tau_rayleigh,
 combine_abs_and_rayleigh, increment_2stream_by_2stream,
 sw_solver_2stream (+ sw_dif_and_source + adding).
+
+Performance structure mirrors fused_lw.py (docs/PERFORMANCE.md):
+layer-major (nlay, w, 128) scratches, SMEM-hoisted pressure windows,
+and the exact fp-uniform pre-lerp fast path.
 """
 from __future__ import annotations
 
@@ -27,12 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .major_gather import PSPAN
 from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
-from .solver_lanes import _sw_body
+from .solver_lanes import _sw_body_lm
 
 __all__ = ["sw_fused_gas_optics_solve"]
 
 
-def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
+def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref, rayl_ref,
                      ct_ref, cs_ref, cg_ref,
                      mu0_ref, albdir_ref, albdif_ref, inc_ref, incdif_ref,
@@ -59,9 +63,11 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         fp = desc_ref[0, l, :][None, :]
         tropo = desc_ref[2, l, :]
         # precomputed per-(block, layer) pressure-window base + uniformity
-        # (see fused_lw.py: kills the per-layer cross-lane reductions)
+        # and fpress scalar + uniformity (see fused_lw.py)
         jp0 = jpin_ref[0, 0, l]
         uniform = jpin_ref[0, 1, l] != 0
+        fp0 = fpin_ref[0, 0, l]
+        fpu = fpin_ref[0, 1, l] != 0.0
 
         def fields(it):
             def sel(base):
@@ -77,7 +83,7 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                 pres, cmv, ftv = pres_of_it(it)
                 term = (ftv * cmv) * pres
                 acc = term if acc is None else acc + term
-            tau_s[:, l, :] = acc
+            tau_s[l, :, :] = acc
 
         # rayleigh in the same layer pass: the band-major krayl block
         # (rows [atm, de, g-in-band]) makes every slice static
@@ -102,10 +108,25 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                 hi = _gather_rows(
                     rayl_ref[b, (atm * 2 + 1) * w:(atm * 2 + 2) * w, :], tr)
                 k_atm[atm] = k_atm[atm] + fm0 * lo + fm1 * hi
-        ray_s[:, l, :] = (tropo2 * k_atm[0]
+        ray_s[l, :, :] = (tropo2 * k_atm[0]
                           + (1.0 - tropo2) * k_atm[1]) * rayscale
 
-        @pl.when(uniform)
+        @pl.when(jnp.logical_and(uniform, fpu))
+        def _():
+            # fast path: pre-lerp the 2 pressure levels by the scalar fp
+            # before the eta/temp gathers (half the gathered rows)
+            slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
+            slab2 = (1.0 - fp0) * slab[:ntw, :] + fp0 * slab[ntw:, :]
+
+            def pres_of_it(it):
+                te, fe, cmv, ftv = fields(it)
+                g0 = _gather_rows(slab2, te)
+                g1 = _gather_rows(slab2, te + 1)
+                return ((1.0 - fe) * g0 + fe * g1, cmv, ftv)
+
+            combine(pres_of_it)
+
+        @pl.when(jnp.logical_and(uniform, jnp.logical_not(fpu)))
         def _():
             slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
 
@@ -169,21 +190,21 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                                 tref[ncont + start:ncont + start + wm, :],
                                 rr)
                             kk = kk + fm0 * lo + fm1 * hi
-                        tau_s[lg0:lg0 + wm, l, :] += scal * kk
+                        tau_s[l, lg0:lg0 + wm, :] += scal * kk
                     return 0
 
                 jax.lax.fori_loop(0, nlay, minor_layer, 0)
 
     # ---- combine_abs_and_rayleigh + cloud increment (as in the SW
-    # mega-kernel) ----
+    # mega-kernel) ---- all fields (nlay, w, _BC)
     ray = ray_s[:, :, :]
     t_gas = tau_s[:, :, :] + ray
     big = t_gas > 2.0 * tiny
     ssa_gas = jnp.where(big, ray / jnp.where(big, t_gas, 1.0), 0.0)
     if with_cloud:
-        o_tau = ct_ref[0, :, :][None, :, :]
-        o_ssa = cs_ref[0, :, :][None, :, :]
-        o_g = cg_ref[0, :, :][None, :, :]
+        o_tau = ct_ref[0, :, :][:, None, :]
+        o_ssa = cs_ref[0, :, :][:, None, :]
+        o_g = cg_ref[0, :, :][:, None, :]
         t = t_gas + o_tau
         tauscat = t_gas * ssa_gas + o_tau * o_ssa
         g12 = (o_tau * o_ssa * o_g) / jnp.maximum(tauscat, tiny)
@@ -193,12 +214,12 @@ def _fused_sw_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
     else:
         t, w0, asym = t_gas, ssa_gas, jnp.zeros_like(t_gas)
 
-    _sw_body(t, w0, asym, mu0_ref[:, :], albdir_ref[0, :, :],
-             albdif_ref[0, :, :], inc_ref[0, :, :], incdif_ref[0, :, :],
-             up_ref, dn_ref, dir_ref,
-             dirlev, sdn_s, sup_s, rdif_s, tdif_s,
-             alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay,
-             byband=byband)
+    _sw_body_lm(t, w0, asym, mu0_ref[:, :], albdir_ref[0, :, :],
+                albdif_ref[0, :, :], inc_ref[0, :, :], incdif_ref[0, :, :],
+                up_ref, dn_ref, dir_ref,
+                dirlev, sdn_s, sup_s, rdif_s, tdif_s,
+                alb_s, src_s, den_s, fup_s, fdn_s, tns_s, nlay=nlay,
+                byband=byband)
 
 
 def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
@@ -231,6 +252,10 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
     jpmax = jnp.max(jp_blk, axis=-1).T
     jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
+    fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
+    fp0 = fp_blk[:, :, 0].T
+    fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
+    fpin = jnp.stack([fp0.astype(desc_p.dtype), fpu], 1)
 
     kern = functools.partial(
         _fused_sw_kernel, nlay=nlay, w=w, pspan=PSPAN,
@@ -250,6 +275,8 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem_cl = pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
+                           memory_space=pltpu.SMEM)
     vmu = pl.BlockSpec((nlay, _BC), lambda c, b: (0, c),
                        memory_space=pltpu.VMEM)
     if byband:
@@ -260,15 +287,14 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         obb = pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
                            memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((nlev, ncol_p), dtype)
-    scr = lambda nl: pltpu.VMEM((w, nl, _BC), dtype)
+    # layer-major scratches: per-layer slices are contiguous tiles
+    scr = lambda nl: pltpu.VMEM((nl, w, _BC), dtype)
 
     up, dn, fdir = pl.pallas_call(
         kern,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
-            smem,
-            pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem, smem_cl, smem_cl,
             cb_rows(desc), cb_rows(msc),
             # whole major + rayleigh tables VMEM-resident (fetched once
             # per launch; per-band blocks with band innermost re-fetch
@@ -289,7 +315,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flav, jpin, desc_p, padc(msc),
+    )(flav, jpin, fpin, desc_p, padc(msc),
       table_lane, mtab_lo, mtab_up, rayl_lane,
       padc(cloud[0]), padc(cloud[1]), padc(cloud[2]),
       padc_e(mu0), padc(sfc_alb_dir), padc(sfc_alb_dif), padc(inc),

@@ -147,7 +147,8 @@ except Exception as e:
 # paths that should agree must agree at tolerance, at PRODUCTION shapes —
 # the toy-shape interpret-mode tests can't catch lane-table indexing bugs
 # that only appear at 256 gpt / 59 pressures)
-if os.environ.get("DRIVE_FUSED_EQUIV", "1") == "1":
+_on_tpu = jax.default_backend() not in ("cpu", "gpu")
+if os.environ.get("DRIVE_FUSED_EQUIV", "1" if _on_tpu else "0") == "1":
     print("[3d] fused vs XLA at production shapes (256/224 gpt, 59 press)")
     from rte_rrtmgp_tpu.config import set_use_pallas
     from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw, allsky_step_sw,
