@@ -9,6 +9,12 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 MODE = os.environ.get("MODE", "full")
+
+# tiny eager readback: surfaces the axon first-device-op wedge
+import numpy as _np  # noqa: E402
+_np.asarray(jax.numpy.zeros(8) + 1.0)
+print("# device ok", flush=True)
+
 print(f"[{time.strftime('%H:%M:%S')}] building inputs...", flush=True)
 
 from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw, allsky_step_sw,

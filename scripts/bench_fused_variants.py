@@ -23,6 +23,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from timing import timeit  # noqa: E402
 
+# tiny eager readback: surfaces the axon first-device-op wedge
+import numpy as _np  # noqa: E402
+_np.asarray(jax.numpy.zeros(8) + 1.0)
+print("# device ok", flush=True)
+
+
 
 def build_lw_kernel_inputs(ncol=4096, nlay=72, ngpt=256, nbnd=16,
                            ntemp=14, npres=59):
