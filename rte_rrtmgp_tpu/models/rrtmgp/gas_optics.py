@@ -472,16 +472,13 @@ class GasOpticsRRTMGP:
         coeffs = self._interp(play_c, tlay_c, col_gas_c)
         tlev_w = (jnp.asarray(tlev) if tlev is not None
                   else self.interp_tlev(tlay, play, plev))
-        pb = lambda t: planck_bands_lanes(
-            t, totplnk=kd.totplnk, totplnk_delta=kd.totplnk_delta,
-            temp_ref_min=kd.temp_ref_min)
         ngpt, ncol = kd.ngpt, play.shape[0]
         inc = (inc_flux if inc_flux is not None
                else jnp.zeros((ngpt, ncol), play.dtype))
         out = lw_fused_lanes(
             coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
-            idx_h2o=idx_h2o, pb_lay=pb(tlay.T), pb_lev=pb(tlev_w.T),
-            pb_sfc=pb(tsfc), emis=sfc_emis, inc=inc, ds=ds, weight=weight,
+            idx_h2o=idx_h2o, tlev_c=tlev_w.T, tsfc=tsfc,
+            emis=sfc_emis, inc=inc, ds=ds, weight=weight,
             cloud_tau_abs=cloud_tau_abs, byband=byband,
             interpret=not on_tpu)
         return self._apply_poison(out, poison)

@@ -419,12 +419,13 @@ def _minor_tables(kd, dtype):
 
 
 def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
-                   pb_lay, pb_lev, pb_sfc, emis, inc, ds, weight,
+                   tlev_c, tsfc, emis, inc, ds, weight,
                    cloud_tau_abs=None, byband: bool = False,
                    interpret: bool = False):
     """Build descriptors and run the grand fused LW gas-optics + solve
     kernel (ops/pallas/fused_lw.py). All cell inputs are layer-major
-    (nlay, ncol); pb_* by band; emis/inc (ngpt, ncol).
+    (nlay, ncol); tlev_c (nlay+1, ncol); tsfc (ncol,) — the band Planck
+    interpolation happens in-kernel from kd.totplnk; emis/inc (ngpt, ncol).
 
     Returns (flux_up, flux_dn) each (nlay+1, ncol), or None when the
     configuration is ineligible."""
@@ -479,9 +480,10 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
 
     return lw_fused_gas_optics_solve(
         flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
-        pb_lay, pb_lev, pb_sfc[:, None, :],
+        tlay_c, tlev_c, tsfc, kd.totplnk,
         emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
-        ds=ds, weight=weight, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
+        ds=ds, weight=weight, tp_min=kd.temp_ref_min,
+        tp_delta=kd.totplnk_delta, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
         nflav=nflav, band_minors=tuple(band_minors),
         cloud_tau_abs=cloud_tau_abs, byband=byband, interpret=interpret)
 

@@ -54,11 +54,12 @@ __all__ = ["lw_fused_gas_optics_solve"]
 
 def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
                      msc_ref, tab_ref, mtab_lo_ref, mtab_up_ref,
-                     pbl_ref, pbv_ref, pbs_ref, cld_ref, emis_ref, inc_ref,
+                     tlay_ref, tlev_ref, tsfc_ref, tot_ref,
+                     cld_ref, emis_ref, inc_ref,
                      up_ref, dn_ref,
                      tau_s, pf_s, sdn_s, sup_s, rdn_s, rup_s, *,
                      nlay, w, pspan, band_minors, ncont_lo, nflav,
-                     with_cloud, byband=False):
+                     with_cloud, ntot, nrow_t, byband=False):
     b = pl.program_id(1)
     dtype = tau_s.dtype
     eps = np.finfo(np.float32).eps
@@ -66,6 +67,33 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
     tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
     ds = dsw_ref[0]
     piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
+    tp_min = dsw_ref[2]
+    tp_delta = dsw_ref[3]
+
+    def planck_band(t):
+        """Band-b Planck values by temperature: the reference interpolate1D
+        (kernels :715-737), folded in-kernel. The totplnk temperature
+        domain rides the 128-lane axis of tot_ref in ``nrow_t`` row
+        groups; the lookup is a per-element cross-lane gather + row-group
+        select. t (rows, _BC) -> (rows, _BC). Matches the XLA
+        planck_bands_lanes numerics exactly (same f32 ops)."""
+        val0 = (t - tp_min) / tp_delta
+        frac = val0 - jnp.trunc(val0)
+        idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
+
+        def take(ix):
+            lane = jax.lax.rem(ix, jnp.asarray(128, ix.dtype))
+            acc = jnp.zeros_like(t)
+            for r in range(nrow_t):
+                src = jnp.broadcast_to(tot_ref[0, r, :][None, :], t.shape)
+                g = jnp.take_along_axis(src, lane, axis=1)
+                acc = acc + jnp.where(ix // 128 == r, g,
+                                      jnp.zeros_like(g))
+            return acc
+
+        lo = take(idx)
+        hi = take(idx + 1)
+        return lo + frac * (hi - lo)
     ntw = 2 * w     # [tau rows, planck rows] payload
     # desc rows: [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
     # cm(2*nflav), tr(2*nflav)] — flavor rows selected at runtime via the
@@ -200,8 +228,8 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
 
     # ---- Planck sources from pfrac + band Planck values ----
     pf = pf_s[:, :, :]
-    pb_lay = pbl_ref[0, :, :][:, None, :]
-    pb_lev = pbv_ref[0, :, :][:, None, :]
+    pb_lay = planck_band(tlay_ref[:, :])[:, None, :]
+    pb_lev = planck_band(tlev_ref[:, :])[:, None, :]
     lay = pf * pb_lay
     pf_in = jnp.sqrt(pf[1:, :, :] * pf[:-1, :, :])
     lev_top = jnp.concatenate([pf[:1, :, :], pf_in], axis=0) \
@@ -229,7 +257,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
     jax.lax.fori_loop(0, nlay, down, 0)
 
     emis = emis_ref[0, :, :]
-    sfc_src = pf[nlay - 1, :, :] * pbs_ref[0, 0, :][None, :]
+    sfc_src = pf[nlay - 1, :, :] * planck_band(tsfc_ref[:, :])
     rup_s[nlay, :, :] = (rdn_s[nlay, :, :] * (1.0 - emis) + emis * sfc_src)
 
     def up(i, _):
@@ -261,8 +289,9 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
 
 
 def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
-                              mtab_lo, mtab_up, pb_lay, pb_lev, pb_sfc,
-                              emis, inc, *, ds, weight, nbnd, w, nlay, ncol,
+                              mtab_lo, mtab_up, tlay, tlev, tsfc,
+                              totplnk, emis, inc, *, ds, weight,
+                              tp_min, tp_delta, nbnd, w, nlay, ncol,
                               nflav, band_minors, cloud_tau_abs=None,
                               byband: bool = False,
                               interpret: bool = False):
@@ -270,9 +299,20 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     arrive reshaped (rows, nlay, ncol) layer-major; see the builder in
     ops/gas_optics_pallas.lw_fused_lanes for their exact contents.
     flav: (2*nbnd,) int32 per-band (flavor_lower, flavor_upper) SMEM table.
+    tlay (nlay, ncol) / tlev (nlay+1, ncol) / tsfc (ncol,): temperatures —
+    the band Planck values are interpolated from ``totplnk`` (ntot, nbnd)
+    IN-KERNEL (grid offset tp_min, spacing tp_delta), so no per-band
+    Planck fields cross HBM.
     Returns (flux_up, flux_dn), each (nlay+1, ncol) top at index 0, or
     (nbnd, nlay+1, ncol) per-band sums with ``byband``."""
     dtype = desc.dtype
+    ntot = totplnk.shape[0]
+    nrow_t = (ntot + 127) // 128
+    # totplnk temperature domain on the 128-lane axis, per band
+    tot_lane = jnp.pad(totplnk.astype(dtype),
+                       ((0, nrow_t * 128 - ntot), (0, 0))
+                       ).T.reshape(nbnd, nrow_t, 128)
+    tsfc = jnp.asarray(tsfc, dtype).reshape(1, -1)
     pc = (-ncol) % _BC
     padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
     # edge-pad the descriptor columns: padded lanes share a 128-lane group
@@ -286,7 +326,9 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     cld = (cloud_tau_abs if with_cloud
            else jnp.zeros((1, nlay, ncol), dtype))
     dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
-                     jnp.asarray(weight, dtype).reshape(())])
+                     jnp.asarray(weight, dtype).reshape(()),
+                     jnp.asarray(tp_min, dtype).reshape(()),
+                     jnp.asarray(tp_delta, dtype).reshape(())])
 
     desc_p = padc_e(desc)
     # per-(column-block, layer) pressure-window base index + uniform flag,
@@ -305,13 +347,12 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     kern = functools.partial(
         _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,
         band_minors=band_minors, ncont_lo=mtab_lo.shape[0] // 2,
-        nflav=nflav, with_cloud=with_cloud, byband=byband)
+        nflav=nflav, with_cloud=with_cloud, ntot=ntot, nrow_t=nrow_t,
+        byband=byband)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
         memory_space=pltpu.VMEM)
-    band3 = lambda nl: pl.BlockSpec((1, nl, _BC), lambda c, b: (b, 0, c),
-                                    memory_space=pltpu.VMEM)
     resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -339,8 +380,13 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
             # would re-fetch ~2 MB on EVERY grid step (~1 GB/step)
             resident(table_lane),
             resident(mtab_lo), resident(mtab_up),
-            band3(nlay), band3(nlev),
-            pl.BlockSpec((1, 1, _BC), lambda c, b: (b, 0, c),
+            pl.BlockSpec((nlay, _BC), lambda c, b: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, _BC), lambda c, b: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BC), lambda c, b: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrow_t, 128), lambda c, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nlay, _BC),
                          lambda c, b: ((b if with_cloud else 0), 0, c),
@@ -361,8 +407,9 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dsw, flav, jpin, fpin, desc_p, padc(msc),
-      table_lane, mtab_lo, mtab_up, padc(pb_lay), padc(pb_lev),
-      padc(pb_sfc), padc(cld), padc(emis), padc(inc))
+      table_lane, mtab_lo, mtab_up, padc(jnp.asarray(tlay, dtype)),
+      padc(jnp.asarray(tlev, dtype)), padc(tsfc), tot_lane,
+      padc(cld), padc(emis), padc(inc))
     if byband:
         return up[:, :, :ncol], dn[:, :, :ncol]
     return up[:, :ncol], dn[:, :ncol]
