@@ -88,28 +88,55 @@ def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
         # rayleigh in the same layer pass: the band-major krayl block
         # (rows [atm, de, g-in-band]) makes every slice static
         # (reference compute_tau_rayleigh, kernels :506-565)
-        tropo2 = tropo[None, :]
         rayscale = desc_ref[5, l, :][None, :]
-        k_atm = [jnp.zeros((w, _BC), dtype), jnp.zeros((w, _BC), dtype)]
-        for it in range(2):
-            tr = jnp.where(tropo > 0.5,
-                           desc_ref[TR0 + 2 * flo + it, l, :],
-                           desc_ref[TR0 + 2 * fhi + it, l, :]
-                           ).astype(jnp.int32)
-            fe = jnp.where(tropo > 0.5,
-                           desc_ref[FE0 + 2 * flo + it, l, :],
-                           desc_ref[FE0 + 2 * fhi + it, l, :])[None, :]
-            ftv = desc_ref[3 + it, l, :][None, :]
-            fm0 = (1.0 - fe) * ftv
-            fm1 = fe * ftv
-            for atm in range(2):
-                lo = _gather_rows(
-                    rayl_ref[b, atm * 2 * w:atm * 2 * w + w, :], tr)
-                hi = _gather_rows(
-                    rayl_ref[b, (atm * 2 + 1) * w:(atm * 2 + 2) * w, :], tr)
-                k_atm[atm] = k_atm[atm] + fm0 * lo + fm1 * hi
-        ray_s[l, :, :] = (tropo2 * k_atm[0]
-                          + (1.0 - tropo2) * k_atm[1]) * rayscale
+        # tcode (SMEM, precomputed): 1 = whole block below the tropopause
+        # at this layer, 2 = whole block above, 0 = mixed. Shared pressure
+        # grids make every layer uniform — gather ONE atmosphere's rows
+        # (half the rayleigh gather traffic) and skip the lane selects.
+        tcode = jpin_ref[0, 2, l]
+
+        for code, fu, atm in ((1, flo, 0), (2, fhi, 1)):
+            @pl.when(tcode == code)
+            def _(fu=fu, atm=atm):
+                k = jnp.zeros((w, _BC), dtype)
+                for it in range(2):
+                    tr = desc_ref[TR0 + 2 * fu + it, l, :
+                                  ].astype(jnp.int32)
+                    fe = desc_ref[FE0 + 2 * fu + it, l, :][None, :]
+                    ftv = desc_ref[3 + it, l, :][None, :]
+                    lo = _gather_rows(
+                        rayl_ref[b, atm * 2 * w:atm * 2 * w + w, :], tr)
+                    hi = _gather_rows(
+                        rayl_ref[b, (atm * 2 + 1) * w:(atm * 2 + 2) * w,
+                                 :], tr)
+                    k = k + ((1.0 - fe) * ftv) * lo + (fe * ftv) * hi
+                ray_s[l, :, :] = k * rayscale
+
+        @pl.when(tcode == 0)
+        def _():
+            tropo2 = tropo[None, :]
+            k_atm = [jnp.zeros((w, _BC), dtype),
+                     jnp.zeros((w, _BC), dtype)]
+            for it in range(2):
+                tr = jnp.where(tropo > 0.5,
+                               desc_ref[TR0 + 2 * flo + it, l, :],
+                               desc_ref[TR0 + 2 * fhi + it, l, :]
+                               ).astype(jnp.int32)
+                fe = jnp.where(tropo > 0.5,
+                               desc_ref[FE0 + 2 * flo + it, l, :],
+                               desc_ref[FE0 + 2 * fhi + it, l, :])[None, :]
+                ftv = desc_ref[3 + it, l, :][None, :]
+                fm0 = (1.0 - fe) * ftv
+                fm1 = fe * ftv
+                for atm in range(2):
+                    lo = _gather_rows(
+                        rayl_ref[b, atm * 2 * w:atm * 2 * w + w, :], tr)
+                    hi = _gather_rows(
+                        rayl_ref[b, (atm * 2 + 1) * w:(atm * 2 + 2) * w,
+                                 :], tr)
+                    k_atm[atm] = k_atm[atm] + fm0 * lo + fm1 * hi
+            ray_s[l, :, :] = (tropo2 * k_atm[0]
+                              + (1.0 - tropo2) * k_atm[1]) * rayscale
 
         @pl.when(jnp.logical_and(uniform, fpu))
         def _():
@@ -251,7 +278,14 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
     jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
     jpmax = jnp.max(jp_blk, axis=-1).T
-    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
+    # tropo code per (block, layer): 1 = all lower atm, 2 = all upper,
+    # 0 = mixed (the kernel's single-atmosphere rayleigh fast path)
+    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
+    tr_min = jnp.min(tr_blk, axis=-1).T
+    tr_max = jnp.max(tr_blk, axis=-1).T
+    tcode = jnp.where(tr_min == tr_max,
+                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
+    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32), tcode], 1)
     fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
     fp0 = fp_blk[:, :, 0].T
     fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
@@ -275,8 +309,8 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    smem_cl = pl.BlockSpec((1, 2, nlay), lambda c, b: (c, 0, 0),
-                           memory_space=pltpu.SMEM)
+    smem_cl = lambda r: pl.BlockSpec((1, r, nlay), lambda c, b: (c, 0, 0),
+                                     memory_space=pltpu.SMEM)
     vmu = pl.BlockSpec((nlay, _BC), lambda c, b: (0, c),
                        memory_space=pltpu.VMEM)
     if byband:
@@ -294,7 +328,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         kern,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
-            smem, smem_cl, smem_cl,
+            smem, smem_cl(3), smem_cl(2),
             cb_rows(desc), cb_rows(msc),
             # whole major + rayleigh tables VMEM-resident (fetched once
             # per launch; per-band blocks with band innermost re-fetch

@@ -394,3 +394,34 @@ def test_fused_allsky_byband_matches_generic(sw):
     bb = step(inputs, gop, cloud_optics=cld)
     np.testing.assert_allclose(np.asarray(out.flux_up.sum(-1)),
                                np.asarray(bb.flux_up), rtol=2e-5, atol=5e-4)
+
+
+def test_fused_sw_mixed_tropo_block():
+    """A 128-column block whose layer straddles the tropopause must take
+    the fused SW kernel's mixed-atmosphere rayleigh path (tcode==0) and
+    still match the generic pipeline (reference selects krayl[itropo]
+    per cell, kernels :506-565)."""
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_sw,
+                                               allsky_step_sw_lanes)
+
+    kd = synthetic_kdist(sw=True, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    inputs = make_allsky_inputs(128, 6)
+    play = np.asarray(inputs.play).copy()
+    pt = float(np.exp(float(kd.press_ref_trop_log)))
+    j = int(np.argmin(np.abs(play[0] - pt)))
+    alt = np.where(np.arange(128) % 2 == 0, 1.01, 0.99)
+    play[:, j] = pt * alt
+    # sanity: layer j really is mixed across the block
+    assert (play[:, j] > pt).any() and (play[:, j] <= pt).any()
+    inputs = inputs._replace(play=jnp.asarray(play, jnp.float32))
+
+    set_use_pallas(False)
+    ref = allsky_step_sw(inputs, gop, use_clouds=False)
+    set_use_pallas(True)
+    out = allsky_step_sw_lanes(inputs, gop, use_clouds=False)
+    assert out is not None, "fused SW path unexpectedly unavailable"
+    for name in ("flux_up", "flux_dn", "flux_dn_dir"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=3e-5, atol=5e-4, err_msg=name)
