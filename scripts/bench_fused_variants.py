@@ -99,13 +99,15 @@ def build_lw_kernel_inputs(ncol=4096, nlay=72, ngpt=256, nbnd=16,
                                 ).astype(dtype)
         inc = jnp.zeros((ngpt, ncol), dtype)
         return (desc, msc, pb(tlay.T), pb(tlev.T), pb(tsfc)[:, None, :],
+                tlay.T.astype(dtype), tlev.T.astype(dtype),
+                tsfc.astype(dtype),
                 emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
                 cld_abs, band_minors)
 
     # build band_minors statically (trace once non-jitted on abstract...
     # simplest: run prep eagerly; arrays come out concrete)
-    desc, msc, pb_lay, pb_lev, pb_sfc, emis, inc, cld_abs, band_minors = \
-        prep(inputs)
+    (desc, msc, pb_lay, pb_lev, pb_sfc, tlay_c, tlev_c, tsfc_c, emis, inc,
+     cld_abs, band_minors) = prep(inputs)
 
     flav_rows = []
     for b in range(nbnd):
@@ -117,22 +119,26 @@ def build_lw_kernel_inputs(ncol=4096, nlay=72, ngpt=256, nbnd=16,
 
     arrays = dict(flav=flav, desc=desc, msc=msc, table_lane=kd.kmajor_lane,
                   mtab_lo=mtab_lo, mtab_up=mtab_up, pb_lay=pb_lay,
-                  pb_lev=pb_lev, pb_sfc=pb_sfc, emis=emis, inc=inc,
+                  pb_lev=pb_lev, pb_sfc=pb_sfc, tlay=tlay_c, tlev=tlev_c,
+                  tsfc=tsfc_c, totplnk=kd.totplnk, emis=emis, inc=inc,
                   cloud_tau_abs=cld_abs)
     static = dict(ds=float(GAUSS_DS[0][0]), weight=float(GAUSS_WTS[0][0]),
                   nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav,
                   band_minors=band_minors)
-    return arrays, static
+    static_new = dict(static, tp_min=float(kd.temp_ref_min),
+                      tp_delta=float(kd.totplnk_delta))
+    return arrays, static, static_new
 
 
 def main():
     variants = sys.argv[1:] or ["base"]
-    arrays, static = build_lw_kernel_inputs()
+    arrays, static, static_new = build_lw_kernel_inputs()
     arrays = {k: (jax.device_put(v) if hasattr(v, "shape") else v)
               for k, v in arrays.items()}
 
     from rte_rrtmgp_tpu.ops.pallas.fused_lw import lw_fused_gas_optics_solve
 
+    # production kernel (in-kernel totplnk planck: tlay/tlev/tsfc args)
     impls = {"base": lw_fused_gas_optics_solve}
     try:
         import fused_lw_exp
@@ -148,10 +154,20 @@ def main():
     ref = None
     for name in variants:
         fn = impls[name]
-        jf = jax.jit(lambda a, fn=fn: fn(
-            a["flav"], a["desc"], a["msc"], a["table_lane"], a["mtab_lo"],
-            a["mtab_up"], a["pb_lay"], a["pb_lev"], a["pb_sfc"], a["emis"],
-            a["inc"], cloud_tau_abs=a["cloud_tau_abs"], **static))
+        if name == "base":
+            jf = jax.jit(lambda a, fn=fn: fn(
+                a["flav"], a["desc"], a["msc"], a["table_lane"],
+                a["mtab_lo"], a["mtab_up"], a["tlay"], a["tlev"],
+                a["tsfc"], a["totplnk"], a["emis"], a["inc"],
+                cloud_tau_abs=a["cloud_tau_abs"], **static_new))
+        else:
+            # exploration variants predate the in-kernel planck change
+            # and take precomputed per-band planck fields
+            jf = jax.jit(lambda a, fn=fn: fn(
+                a["flav"], a["desc"], a["msc"], a["table_lane"],
+                a["mtab_lo"], a["mtab_up"], a["pb_lay"], a["pb_lev"],
+                a["pb_sfc"], a["emis"], a["inc"],
+                cloud_tau_abs=a["cloud_tau_abs"], **static))
         out = jax.device_get(jf(arrays))
         if name == "base":
             ref = out
