@@ -135,6 +135,41 @@ def main():
             print(f"# config {name}: {ncol/min(tv):,.0f} columns/s "
                   f"({min(tv)*1e3:.2f} ms)", file=sys.stderr)
 
+        # RFMIP-shaped clear-sky config at the reference's canonical
+        # 1800 x 61 size (100 sites x 18 experiments,
+        # examples/rfmip-clear-sky/CMakeLists.txt:81-99): LW + SW through
+        # the RFMIP drivers' fused dispatch
+        from rte_rrtmgp_tpu.drivers.rfmip import (rfmip_lw, rfmip_sw,
+                                                  synthetic_rfmip)
+        from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+        from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
+
+        rf_nsite = int(os.environ.get("BENCH_RFMIP_NSITE", "100"))
+        rf_nlay = int(os.environ.get("BENCH_RFMIP_NLAY", "61"))
+        rf_nexp = int(os.environ.get("BENCH_RFMIP_NEXP", "18"))
+        data = synthetic_rfmip(nsite=rf_nsite, nlay=rf_nlay, nexp=rf_nexp)
+        g_lw = GasOpticsRRTMGP(synthetic_kdist(
+            sw=False, ngpt=256, nbnd=16, ntemp=14, npres=59))
+        g_sw = GasOpticsRRTMGP(synthetic_kdist(
+            sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59))
+        rf_ncol = data.play.shape[0]
+
+        def rf_step():
+            # drivers return host np arrays, so each call is fully synced
+            # (includes the flux readback, as the reference's timed I/O-free
+            # block loop does)
+            return rfmip_lw(data, g_lw) + rfmip_sw(data, g_sw)
+
+        rf_step()
+        tv = []
+        for _ in range(max(3, reps // 2)):
+            t0 = time.perf_counter()
+            rf_step()
+            tv.append(time.perf_counter() - t0)
+        print(f"# config rfmip-{rf_ncol}x{rf_nlay} (LW+SW): "
+              f"{rf_ncol/min(tv):,.0f} columns/s ({min(tv)*1e3:.2f} ms)",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
