@@ -425,3 +425,31 @@ def test_fused_sw_mixed_tropo_block():
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=3e-5, atol=5e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("sw", [False, True])
+def test_fused_step_column_padding(sw):
+    """ncol not a multiple of 128 (the RFMIP 1800-column shape): the fused
+    kernels' zero/edge column padding must not perturb the real columns."""
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw,
+                                               allsky_step_lw_lanes,
+                                               allsky_step_sw,
+                                               allsky_step_sw_lanes)
+
+    kd = synthetic_kdist(sw=sw, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    inputs = make_allsky_inputs(136, 4)
+    step = allsky_step_sw if sw else allsky_step_lw
+    fused_fn = allsky_step_sw_lanes if sw else allsky_step_lw_lanes
+
+    set_use_pallas(False)
+    ref = step(inputs, gop, use_clouds=False)
+    set_use_pallas(True)
+    out = fused_fn(inputs, gop, use_clouds=False)
+    assert out is not None, "fused path unexpectedly unavailable"
+    for name in ("flux_up", "flux_dn") + (("flux_dn_dir",) if sw else ()):
+        a = np.asarray(getattr(out, name))
+        assert a.shape[0] == 136
+        np.testing.assert_allclose(
+            a, np.asarray(getattr(ref, name)), rtol=3e-5, atol=5e-4,
+            err_msg=f"{name} sw={sw}")
