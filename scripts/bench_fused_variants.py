@@ -138,14 +138,12 @@ def main():
 
     from rte_rrtmgp_tpu.ops.pallas.fused_lw import lw_fused_gas_optics_solve
 
-    # production kernel (in-kernel totplnk planck: tlay/tlev/tsfc args)
+    # production kernel (in-kernel totplnk planck: tlay/tlev/tsfc args).
+    # Experiment variants (scripts/fused_lw_exp.py in git history; findings
+    # recorded in docs/PERFORMANCE.md) register here when present.
     impls = {"base": lw_fused_gas_optics_solve}
     try:
         import fused_lw_exp
-        for name in dir(fused_lw_exp):
-            if name.startswith("lw_fused_"):
-                impls[name[len("lw_fused_"):].rstrip("_") or name] = \
-                    getattr(fused_lw_exp, name)
         for name, fn in getattr(fused_lw_exp, "VARIANTS", {}).items():
             impls[name] = fn
     except ImportError:
