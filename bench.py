@@ -3,173 +3,335 @@
 Mirrors the reference's benchmark harness (examples/all-sky/
 rrtmgp_allsky.F90:329-419: timed iteration loop reporting per-column time)
 at production spectral dimensions (LW 256 gpt / SW 224 gpt, 14 temps,
-59 pressures). Prints ONE JSON line:
+59 pressures).
+
+Structure: a SUPERVISOR (no jax import) forks each benchmark config as a
+child process group and watches it. The axon TPU tunnel in this
+environment sporadically (a) wedges a process's first device interaction
+forever, or (b) fails backend init fast with rc!=0 — either would
+otherwise kill the whole benchmark (round-2's BENCH record was lost to
+mode (b)). The supervisor kills the child on output stall, retries on
+stall OR nonzero exit with cooldown, and relays each config's JSON result
+line to stdout the moment it is measured, so partial results always
+survive. Every config prints its own JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The flagship all-sky config is printed first (as soon as measured) and
+re-printed as the final line.
 
 The reference publishes no throughput numbers (SURVEY.md section 6), so
 vs_baseline is reported against a nominal reference-class GPU throughput
 anchor of 1e6 columns/s for the full LW+SW all-sky step.
+
+Env knobs: BENCH_NCOL/NLAY/REPS/INNER (problem size), BENCH_BUDGET_S
+(total supervisor wall budget, default 3300), BENCH_PRE_S (stall window
+before the child's first device readback succeeds, default 110),
+BENCH_STALL_S (stall window after, default 900 — cold Mosaic compiles are
+legitimately silent for minutes), BENCH_COOLDOWN_S (between retries,
+default 60), BENCH_CONFIGS (comma list to restrict), BENCH_CHILD_CMD
+(test hook: full replacement child argv).
 """
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import jax
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-# persistent compile cache: the grand fused Pallas kernels take minutes to
-# compile cold; cached runs start in seconds (same dir as tests/conftest.py)
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+CONFIGS = ("allsky", "clear-sky", "aerosols", "rfmip")
+FLAGSHIP = "allsky"
 
 
-def main():
-    ncol = int(os.environ.get("BENCH_NCOL", "4096"))
-    nlay = int(os.environ.get("BENCH_NLAY", "72"))
-    reps = int(os.environ.get("BENCH_REPS", "10"))
-    inner = int(os.environ.get("BENCH_INNER", "10"))
+# ---------------------------------------------------------------------------
+# child: the actual measurements (imports jax; may wedge or die — the
+# supervisor below handles both)
+# ---------------------------------------------------------------------------
 
-    from __graft_entry__ import _build
+def _child_setup():
+    import jax
+
+    # persistent compile cache: the grand fused Pallas kernels take minutes
+    # to compile cold; cached runs start in seconds (same dir as
+    # tests/conftest.py)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log = lambda m: print(f"# [{time.strftime('%H:%M:%S')}] {m}",
                           file=sys.stderr, flush=True)
     # tiny eager readback first: the axon tunnel sporadically wedges a
     # process's first device interaction; surfacing it here lets the
-    # runner (scripts/tpu_run.py) detect the wedge fast and retry
+    # supervisor distinguish "wedged at init" (short stall window) from
+    # "legitimately compiling" (long window)
     import numpy as np
     np.asarray(jax.numpy.zeros(8) + 1.0)
     log("device ok")
-    log("building inputs...")
-    step, inputs = _build(ncol=ncol, nlay=nlay, ngpt_lw=256, nbnd_lw=16,
-                          ngpt_sw=224, nbnd_sw=14, ntemp=14, npres=59)
-    step_jit = jax.jit(step)
+    return jax, log
 
-    def force(out):
-        # one readback forces the serial device queue to drain (through
-        # the axon tunnel block_until_ready can return early)
-        import numpy as np
-        np.asarray(jax.device_get(out[0].ravel()[-1:]))
 
-    # warmup / compile
+def _force(out):
+    # one readback forces the serial device queue to drain (through the
+    # axon tunnel block_until_ready can return early)
+    import jax
+    import numpy as np
+    np.asarray(jax.device_get(out[0].ravel()[-1:]))
+
+
+def _time_step(step_jit, inputs, reps, inner, log):
+    """Steady-state: chain `inner` steps per timing window so host dispatch
+    overlaps device execution (the production regime — the reference
+    benchmark also times a loop of steps, rrtmgp_allsky.F90:329-419)."""
     log("compiling/warmup...")
     out = step_jit(inputs)
-    force(out)
+    _force(out)
     log("warm; timing...")
-
-    # steady-state throughput: chain `inner` steps per timing window so
-    # host dispatch overlaps device execution (the production regime —
-    # the reference benchmark also times a loop of steps,
-    # examples/all-sky/rrtmgp_allsky.F90:329-419)
     times = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
         for _ in range(inner):
             out = step_jit(inputs)
-        force(out)
+        _force(out)
         times.append((time.perf_counter() - t0) / inner)
-    t_min = min(times)
+        log(f"rep {r + 1}/{reps}: {times[-1] * 1e3:.2f} ms")
+    return min(times)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _child_allsky_family(config):
+    """allsky (flagship, clouds), clear-sky, aerosols (clouds+aerosols)."""
+    jax, log = _child_setup()
+    ncol = int(os.environ.get("BENCH_NCOL", "4096"))
+    nlay = int(os.environ.get("BENCH_NLAY", "72"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    inner = int(os.environ.get("BENCH_INNER", "10"))
+    kw = {"allsky": {},
+          "clear-sky": dict(use_clouds=False),
+          "aerosols": dict(use_aerosols=True)}[config]
+    from __graft_entry__ import _build
+    log(f"building inputs ({config})...")
+    step, inputs = _build(ncol=ncol, nlay=nlay, ngpt_lw=256, nbnd_lw=16,
+                          ngpt_sw=224, nbnd_sw=14, ntemp=14, npres=59, **kw)
+    t_min = _time_step(jax.jit(step), inputs, reps, inner, log)
     cols_per_s = ncol / t_min
 
-    # Roofline accounting (BASELINE.md kernel-efficiency target): the
-    # bytes a bandwidth-bound kernel-tier implementation MUST move for
-    # this step (table gathers + spectral-field traffic,
-    # utils/profiling.step_bytes) divided by the step time = the
-    # effective bandwidth at which the problem is processed. The fused
-    # kernels keep spectral fields out of HBM entirely, so this can
-    # legitimately approach or exceed the device's streaming bandwidth.
-    #   roofline_fraction_spec     : vs the HBM spec sheet (819 GB/s v5e)
-    #   roofline_fraction_measured : vs this part's measured streaming
-    #     bandwidth through the axon tunnel (scripts/bench_calibrate.py:
-    #     ~138 GB/s), i.e. vs a perfect bandwidth-bound implementation
-    #     on the same hardware as actually available
-    from rte_rrtmgp_tpu.utils.profiling import step_bytes
-
-    nbytes = step_bytes(ncol, nlay)
-    eff_gbs = nbytes / t_min / 1e9
-    bw_spec = float(os.environ.get("BENCH_HBM_GBS", "819"))
-    bw_meas = float(os.environ.get("BENCH_HBM_MEASURED_GBS", "138"))
-
+    label = {"allsky": "all-sky",
+             "clear-sky": "clear-sky",
+             "aerosols": "all-sky clouds+aerosols"}[config]
     result = {
-        "metric": "columns/s/chip (all-sky gas optics + LW noscat + SW 2-stream, 256/224 gpt)",
+        "metric": f"columns/s/chip ({label} gas optics + LW noscat + "
+                  f"SW 2-stream, 256/224 gpt)",
         "value": round(cols_per_s, 1),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / 1.0e6, 4),
-        "roofline_model_bytes": nbytes,
-        "effective_gbs": round(eff_gbs, 1),
-        "roofline_fraction_spec": round(eff_gbs / bw_spec, 4),
-        "roofline_fraction_measured": round(eff_gbs / bw_meas, 4),
     }
-    print(json.dumps(result))
-    print(f"# ncol={ncol} nlay={nlay} reps={reps} t_min={t_min*1e3:.2f} ms "
-          f"time_per_col={t_min/ncol*1e6:.3f} us device={jax.devices()[0]}",
-          file=sys.stderr)
-    print(f"# roofline: model bytes/step={nbytes/1e9:.2f} GB -> effective "
-          f"{eff_gbs:.0f} GB/s = {eff_gbs/bw_spec:.1%} of {bw_spec:.0f} GB/s "
-          f"spec, {eff_gbs/bw_meas:.1%} of {bw_meas:.0f} GB/s measured "
-          f"streaming", file=sys.stderr)
+    if config == FLAGSHIP:
+        # Roofline accounting (BASELINE.md kernel-efficiency target): the
+        # bytes a bandwidth-bound kernel-tier implementation MUST move for
+        # this step (table gathers + spectral-field traffic,
+        # utils/profiling.step_bytes) divided by the step time = the
+        # effective bandwidth at which the problem is processed. The fused
+        # kernels keep spectral fields out of HBM entirely, so this can
+        # legitimately approach or exceed the device's streaming bandwidth.
+        from rte_rrtmgp_tpu.utils.profiling import step_bytes, vpu_cycle_budget
 
-    # secondary configurations (BENCH_CONFIGS=all): clear-sky and
-    # aerosols-on, mirroring the reference harness's clouds/aerosols argv
-    # sweep (rrtmgp_allsky.F90; make_problem_size_loop.py). Reported on
-    # stderr; the driver's stdout JSON line stays the flagship config.
-    if os.environ.get("BENCH_CONFIGS", "") == "all":
-        from __graft_entry__ import _build
+        nbytes = step_bytes(ncol, nlay)
+        eff_gbs = nbytes / t_min / 1e9
+        bw_spec = float(os.environ.get("BENCH_HBM_GBS", "819"))
+        result.update({
+            "roofline_model_bytes": nbytes,
+            "effective_gbs": round(eff_gbs, 1),
+            "roofline_fraction_spec": round(eff_gbs / bw_spec, 4),
+        })
+        # VPU cycle-budget model (the honest utilization number: the fused
+        # kernels are VPU-bound, not bandwidth-bound — see
+        # docs/PERFORMANCE.md "cycle budget")
+        result.update(vpu_cycle_budget(ncol, nlay, t_min))
+    _emit(result)
+    print(f"# {config}: ncol={ncol} nlay={nlay} reps={reps} "
+          f"t_min={t_min * 1e3:.2f} ms "
+          f"time_per_col={t_min / ncol * 1e6:.3f} us "
+          f"device={jax.devices()[0]}", file=sys.stderr, flush=True)
 
-        for name, kw in (("clear-sky", dict(use_clouds=False)),
-                         ("aerosols", dict(use_aerosols=True))):
-            stepv, inputsv = _build(ncol=ncol, nlay=nlay, ngpt_lw=256,
-                                    nbnd_lw=16, ngpt_sw=224, nbnd_sw=14,
-                                    ntemp=14, npres=59, **kw)
-            sj = jax.jit(stepv)
-            force(sj(inputsv))
-            tv = []
-            for _ in range(max(3, reps // 2)):
-                t0 = time.perf_counter()
-                for _ in range(inner):
-                    outv = sj(inputsv)
-                force(outv)
-                tv.append((time.perf_counter() - t0) / inner)
-            print(f"# config {name}: {ncol/min(tv):,.0f} columns/s "
-                  f"({min(tv)*1e3:.2f} ms)", file=sys.stderr)
 
-        # RFMIP-shaped clear-sky config at the reference's canonical
-        # 1800 x 61 size (100 sites x 18 experiments,
-        # examples/rfmip-clear-sky/CMakeLists.txt:81-99): LW + SW through
-        # the RFMIP drivers' fused dispatch
-        from rte_rrtmgp_tpu.drivers.rfmip import (rfmip_lw, rfmip_sw,
-                                                  synthetic_rfmip)
-        from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
-        from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
+def _child_rfmip():
+    """RFMIP-shaped clear-sky config at the reference's canonical 1800x61
+    size (100 sites x 18 experiments,
+    examples/rfmip-clear-sky/CMakeLists.txt:81-99): LW + SW through the
+    RFMIP drivers' fused dispatch."""
+    jax, log = _child_setup()
+    reps = max(3, int(os.environ.get("BENCH_REPS", "10")) // 2)
+    from rte_rrtmgp_tpu.drivers.rfmip import (rfmip_lw, rfmip_sw,
+                                              synthetic_rfmip)
+    from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
 
-        rf_nsite = int(os.environ.get("BENCH_RFMIP_NSITE", "100"))
-        rf_nlay = int(os.environ.get("BENCH_RFMIP_NLAY", "61"))
-        rf_nexp = int(os.environ.get("BENCH_RFMIP_NEXP", "18"))
-        data = synthetic_rfmip(nsite=rf_nsite, nlay=rf_nlay, nexp=rf_nexp)
-        g_lw = GasOpticsRRTMGP(synthetic_kdist(
-            sw=False, ngpt=256, nbnd=16, ntemp=14, npres=59))
-        g_sw = GasOpticsRRTMGP(synthetic_kdist(
-            sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59))
-        rf_ncol = data.play.shape[0]
+    nsite = int(os.environ.get("BENCH_RFMIP_NSITE", "100"))
+    nlay = int(os.environ.get("BENCH_RFMIP_NLAY", "61"))
+    nexp = int(os.environ.get("BENCH_RFMIP_NEXP", "18"))
+    log("building RFMIP inputs...")
+    data = synthetic_rfmip(nsite=nsite, nlay=nlay, nexp=nexp)
+    g_lw = GasOpticsRRTMGP(synthetic_kdist(
+        sw=False, ngpt=256, nbnd=16, ntemp=14, npres=59))
+    g_sw = GasOpticsRRTMGP(synthetic_kdist(
+        sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59))
+    ncol = data.play.shape[0]
 
-        def rf_step():
-            # drivers return host np arrays, so each call is fully synced
-            # (includes the flux readback, as the reference's timed I/O-free
-            # block loop does)
-            return rfmip_lw(data, g_lw) + rfmip_sw(data, g_sw)
+    def rf_step():
+        # drivers return host np arrays, so each call is fully synced
+        # (includes the flux readback, as the reference's timed I/O-free
+        # block loop does)
+        return rfmip_lw(data, g_lw) + rfmip_sw(data, g_sw)
 
+    log("compiling/warmup...")
+    rf_step()
+    log("warm; timing...")
+    tv = []
+    for r in range(reps):
+        t0 = time.perf_counter()
         rf_step()
-        tv = []
-        for _ in range(max(3, reps // 2)):
-            t0 = time.perf_counter()
-            rf_step()
-            tv.append(time.perf_counter() - t0)
-        print(f"# config rfmip-{rf_ncol}x{rf_nlay} (LW+SW): "
-              f"{rf_ncol/min(tv):,.0f} columns/s ({min(tv)*1e3:.2f} ms)",
-              file=sys.stderr)
+        tv.append(time.perf_counter() - t0)
+        log(f"rep {r + 1}/{reps}: {tv[-1] * 1e3:.2f} ms")
+    t_min = min(tv)
+    _emit({
+        "metric": f"columns/s/chip (RFMIP {ncol}x{nlay} clear-sky LW+SW, "
+                  f"256/224 gpt, via drivers incl. host readback)",
+        "value": round(ncol / t_min, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(ncol / t_min / 1.0e6, 4),
+    })
+    print(f"# rfmip: ncol={ncol} nlay={nlay} t_min={t_min * 1e3:.2f} ms",
+          file=sys.stderr, flush=True)
+
+
+def child_main(config):
+    if config == "rfmip":
+        _child_rfmip()
+    else:
+        _child_allsky_family(config)
+
+
+# ---------------------------------------------------------------------------
+# supervisor: wedge-proof runner (NO jax import here)
+# ---------------------------------------------------------------------------
+
+def _run_child(config, log_path, pre_s, stall_s):
+    """Run one config attempt under a stall watchdog.
+
+    Returns (rc, json_lines). rc=124 means killed for stalling. The stall
+    window is `pre_s` until the child logs "device ok" (its first tiny
+    device readback — the op the axon wedge freezes), then `stall_s`
+    (long Mosaic compiles are legitimately silent for minutes)."""
+    if os.environ.get("BENCH_CHILD_CMD"):
+        cmd = os.environ["BENCH_CHILD_CMD"].split() + [config]
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__), "--child", config]
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    with open(log_path, "wb") as log:
+        p = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                             start_new_session=True, env=env)
+        probed = False
+        while True:
+            try:
+                rc = p.wait(timeout=5)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            if not probed:
+                try:
+                    with open(log_path, "rb") as f:
+                        probed = b"device ok" in f.read()
+                except OSError:
+                    pass
+            window = stall_s if probed else pre_s
+            if time.time() - os.path.getmtime(log_path) > window:
+                print(f"# bench[{config}]: stalled ({window}s no output); "
+                      f"killing pg", file=sys.stderr, flush=True)
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    p.kill()
+                p.wait()
+                rc = 124
+                break
+    lines = []
+    try:
+        with open(log_path, "r", errors="replace") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln.startswith("{") and ln.endswith("}"):
+                    try:
+                        lines.append(json.loads(ln))
+                    except ValueError:
+                        pass
+                elif ln:
+                    print(f"# [{config}] {ln}" if not ln.startswith("#")
+                          else ln, file=sys.stderr, flush=True)
+    except OSError:
+        pass
+    return rc, lines
+
+
+def supervisor_main():
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+    pre_s = float(os.environ.get("BENCH_PRE_S", "110"))
+    stall_s = float(os.environ.get("BENCH_STALL_S", "900"))
+    cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "60"))
+    max_tries = int(os.environ.get("BENCH_TRIES", "6"))
+    want = os.environ.get("BENCH_CONFIGS", "")
+    configs = ([c for c in want.split(",") if c in CONFIGS]
+               if want and want != "all" else list(CONFIGS))
+    t_start = time.time()
+    remaining = lambda: budget_s - (time.time() - t_start)
+
+    results = {}
+    flagship_line = None
+    for config in configs:
+        # the flagship may consume up to the full budget; secondaries only
+        # run while budget remains (flagship-first ordering protects it)
+        attempt = 0
+        while attempt < max_tries and remaining() > pre_s + 10:
+            attempt += 1
+            log_path = os.path.join(
+                "/tmp", f"bench_{config}_a{attempt}.log")
+            print(f"# bench[{config}]: attempt {attempt} "
+                  f"(budget left {remaining():.0f}s)",
+                  file=sys.stderr, flush=True)
+            rc, lines = _run_child(config, log_path, pre_s, stall_s)
+            if rc == 0 and lines:
+                for obj in lines:
+                    results[config] = obj
+                    if config == FLAGSHIP:
+                        flagship_line = obj
+                    # print the moment it is measured so partial results
+                    # survive any later wedge
+                    print(json.dumps(obj), flush=True)
+                break
+            print(f"# bench[{config}]: attempt {attempt} failed "
+                  f"(rc={rc}, {len(lines)} json lines); cooldown "
+                  f"{cooldown:.0f}s", file=sys.stderr, flush=True)
+            if remaining() > cooldown + pre_s + 10:
+                time.sleep(cooldown)
+            else:
+                break
+        if config not in results:
+            print(f"# bench[{config}]: NO RESULT (budget or retries "
+                  f"exhausted)", file=sys.stderr, flush=True)
+
+    # re-print the flagship line last: robust to drivers that parse either
+    # the first or the last JSON line of stdout
+    if flagship_line is not None:
+        print(json.dumps(flagship_line), flush=True)
+        return 0
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_main(sys.argv[2])
+    else:
+        sys.exit(supervisor_main())

@@ -33,6 +33,23 @@ def _probed(path):
     except OSError:
         return False
 
+
+# fast nonzero exits with these markers are the tunnel's OTHER failure
+# mode (backend init dies instead of wedging) — retryable just like a
+# stall (this is what killed round-2's BENCH record)
+_INIT_FAIL_MARKERS = (b"Unable to initialize backend",
+                      b"UNAVAILABLE: TPU backend setup",
+                      b"DEADLINE_EXCEEDED")
+
+
+def _init_failed(path):
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        return any(m in data for m in _INIT_FAIL_MARKERS)
+    except OSError:
+        return False
+
 for attempt in range(1, tries + 1):
     with open(log_path, "w") as log:
         log.write(f"[tpu_run] attempt {attempt}: {' '.join(cmd)}\n")
@@ -60,9 +77,14 @@ for attempt in range(1, tries + 1):
                 rc = p.wait()
                 break
     if not stalled:
-        with open(log_path, "a") as log:
-            log.write(f"\n[tpu_run] attempt {attempt} rc={rc}\n")
-        sys.exit(rc)
+        if rc != 0 and _init_failed(log_path):
+            with open(log_path, "a") as log:
+                log.write(f"\n[tpu_run] attempt {attempt} rc={rc}: backend "
+                          f"init failure; retrying\n")
+        else:
+            with open(log_path, "a") as log:
+                log.write(f"\n[tpu_run] attempt {attempt} rc={rc}\n")
+            sys.exit(rc)
     time.sleep(cooldown)
 
 with open(log_path, "a") as log:
