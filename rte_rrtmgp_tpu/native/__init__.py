@@ -22,13 +22,54 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["build", "load", "available", "NativeKernels"]
+__all__ = ["build", "load", "available", "NativeKernels",
+           "parse_header_prototypes"]
 
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 _NATIVE_DIR = os.path.join(_ROOT, "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 
 _libs = {}
+
+_HEADERS = (os.path.join(_NATIVE_DIR, "include", "rte_kernels.h"),
+            os.path.join(_NATIVE_DIR, "include", "rrtmgp_kernels.h"))
+
+
+def parse_header_prototypes(float_ctype=ctypes.c_float) -> dict:
+    """Parse the C ABI headers into {symbol: [ctypes argtypes]}.
+
+    The headers are the single source of truth for the ABI (the reference
+    generates its C headers from the Fortran with cbind_generator.py:7-60;
+    here the direction is reversed: the hand-written headers drive the
+    ctypes declarations). ``load()`` applies these as ``argtypes`` on
+    every bound symbol, so any drift between a header prototype and a
+    Python call site fails immediately with ctypes.ArgumentError instead
+    of silently corrupting the call frame."""
+    import re
+
+    base = {"int": ctypes.c_int, "Bool": ctypes.c_bool, "Float": float_ctype}
+    protos = {}
+    for path in _HEADERS:
+        with open(path) as f:
+            text = f.read()
+        text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+        text = re.sub(r"//[^\n]*", " ", text)
+        for m in re.finditer(r"\bvoid\s+(\w+)\s*\(([^;{]*)\)\s*;", text):
+            name, params = m.group(1), m.group(2)
+            argts = []
+            for p in params.split(","):
+                p = p.strip()
+                if not p or p == "void":
+                    continue
+                tm = re.match(r"(?:const\s+)?(\w+)\s*(\*?)", p)
+                if tm is None or tm.group(1) not in base:
+                    raise ValueError(
+                        f"{path}: unsupported parameter type in "
+                        f"{name}: {p!r}")
+                t = base[tm.group(1)]
+                argts.append(ctypes.POINTER(t) if tm.group(2) else t)
+            protos[name] = argts
+    return protos
 
 
 def build(force: bool = False) -> str:
@@ -75,6 +116,11 @@ class NativeKernels:
     def __init__(self, lib: ctypes.CDLL, dtype: np.dtype):
         self.lib = lib
         self.dtype = dtype
+        cfloat = ctypes.c_float if dtype == np.float32 else ctypes.c_double
+        for name, argts in parse_header_prototypes(cfloat).items():
+            fn = getattr(lib, name)   # missing symbol = header/lib drift
+            fn.argtypes = argts
+            fn.restype = None
 
     # ------------------------------------------------------------------
     def _f(self, a, shape=None):

@@ -20,7 +20,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["NCFile", "load_gas_optics", "load_cloud_optics",
-           "load_aerosol_optics", "rrtmgp_data_path"]
+           "load_aerosol_optics", "load_solar_variability",
+           "rrtmgp_data_path"]
 
 
 def rrtmgp_data_path() -> Optional[str]:
@@ -209,3 +210,19 @@ def load_aerosol_optics(path: str, dtype=None):
         rv("aero_ocar_tbl"),
         np.transpose(rv("aero_ocar_rh_tbl"), (1, 0, 2)),
         dtype=dtype)
+
+
+def load_solar_variability(path: str) -> np.ndarray:
+    """Mean-solar-cycle facular/sunspot index table from the archive's
+    rrtmgp-solar-var-tables.nc: variable ``solar_var_avgcyc`` with dims
+    (n_solar_frac, n_solar_terms=2) in C order, returned as the
+    (2, n_solar_frac) [mg; sb] layout ``SolarVariability`` takes (the
+    reference reads it Fortran-order as (nsolarterms, nsolarfrac),
+    mo_solar_variability.F90:47-96)."""
+    f = NCFile(path)
+    tbl = np.asarray(f.var("solar_var_avgcyc"), np.float64).T
+    if tbl.shape[0] != 2:
+        raise ValueError(
+            f"{path}: solar_var_avgcyc must be (n_solar_frac, 2), "
+            f"got transposed shape {tbl.shape}")
+    return tbl

@@ -335,3 +335,48 @@ def test_native_cloud_table_matches_jax(rrtmgp_problem):
     with np.errstate(invalid="ignore", divide="ignore"):
         ssa_native = np.where(tau > 0, tss / np.where(tau > 0, tau, 1.0), 0.0)
     np.testing.assert_allclose(ssa_native, ssa_ref, rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# header <-> bindings consistency (reference cbind_generator.py's role:
+# one source of truth for the C ABI)
+# ---------------------------------------------------------------------------
+
+def test_header_prototypes_drive_ctypes_argtypes():
+    """Every header prototype parses, binds to a symbol in the built
+    library, and is wired as argtypes (so call-site drift raises
+    ctypes.ArgumentError at the call instead of corrupting the frame)."""
+    import ctypes
+    from rte_rrtmgp_tpu import native
+
+    protos = native.parse_header_prototypes()
+    assert len(protos) >= 30, sorted(protos)   # 29 RTE + 5 RRTMGP kernels
+    kern = native.load(np.float64)
+    for name, argts in native.parse_header_prototypes(
+            ctypes.c_double).items():
+        fn = getattr(kern.lib, name)
+        assert fn.argtypes == argts, name
+        assert fn.restype is None
+
+    # every Python wrapper call site targets a declared header symbol
+    # (the full ABI is wider than the wrappers: it also serves external
+    # C/C++ host models, like the reference's extern kernel mode)
+    import inspect
+    import re
+    src = inspect.getsource(native)
+    called = set(re.findall(r"\blib\.(\w+)\(", src))
+    undeclared = sorted(called - set(protos))
+    assert not undeclared, f"call sites with no header prototype: {undeclared}"
+
+
+def test_argtypes_reject_wrong_call():
+    """The generated argtypes actually enforce: calling with a wrong
+    argument count/type must raise, not corrupt memory."""
+    import ctypes
+    from rte_rrtmgp_tpu import native
+
+    kern = native.load(np.float32)
+    fn = kern.lib.rte_sum_broadband
+    with pytest.raises((ctypes.ArgumentError, TypeError)):
+        fn(ctypes.c_int(1), ctypes.c_int(1), ctypes.c_int(1),
+           ctypes.c_double(0.0))   # Float* param given a double scalar

@@ -15,6 +15,8 @@ A wrong transpose in rte_rrtmgp_tpu/utils/netcdf.py or drivers/rfmip.py
 makes these tests fail; loading a file must reproduce the object built by
 calling from_raw/load directly on the raw arrays.
 """
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -362,3 +364,38 @@ def test_rfmip_reader_roundtrip(tmp_path):
     # no2 is known to the k-distribution but absent from RFMIP -> zero
     np.testing.assert_array_equal(
         np.asarray(data.gas_concs.get_vmr("no2", ncol, nlay)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the ONE real archive-format file available in this environment: the
+# reference's in-tree solar-variability table. Reading it through the real
+# netCDF machinery validates the reader against a genuine archive file
+# rather than synthetic ones (reference mo_solar_variability.F90:47-96).
+# ---------------------------------------------------------------------------
+
+_SOLAR_NC = ("/root/reference/rte/extensions/solar_variability/"
+             "rrtmgp-solar-var-tables.nc")
+
+
+@pytest.mark.skipif(not os.path.exists(_SOLAR_NC),
+                    reason="reference tree not available")
+def test_real_solar_var_file_matches_packaged_npz():
+    from rte_rrtmgp_tpu.extensions.solar_variability import (_DATA,
+                                                             SolarVariability)
+    from rte_rrtmgp_tpu.utils.netcdf import load_solar_variability
+
+    tbl = load_solar_variability(_SOLAR_NC)
+    assert tbl.shape == (2, 134)   # (terms, n_solar_frac): cycles 13-24 mean
+    packaged = np.load(_DATA)["solar_var_avgcyc"].T
+    np.testing.assert_array_equal(tbl, packaged)
+
+    # drive the interpolation off the freshly-read real file and compare
+    # with the packaged-table default path at several cycle fractions
+    sv_nc = SolarVariability(tbl)
+    sv_np = SolarVariability()
+    for frac in (0.0, 0.0037, 0.25, 0.5, 0.77, 1.0):
+        assert sv_nc.indices(frac) == sv_np.indices(frac)
+    mg, sb = sv_nc.indices(0.5)
+    # mid-cycle: facular index above the NRLSSI2 quiet-sun offset 0.1496,
+    # sunspot index (SPOT67 units) positive
+    assert 0.1496 < mg < 0.2 and sb > 0.0
