@@ -191,6 +191,36 @@ if os.environ.get("DRIVE_FUSED_EQUIV", "1" if _on_tpu else "0") == "1":
                   err <= 3.5e-1 and err / scale < 1e-3,
                   f"max abs err {err:.2e} W/m2")
 
+# ---- 3e. absolute golden at production shape (fused AND XLA f32 paths
+# vs the committed f64 CPU golden, tests/golden/production.npz) ---------------
+# Pins the production path ABSOLUTELY: a numerics change in shared
+# descriptor-prep code fails here even if fused and XLA drift together
+# (the [3d] relative check alone would pass). Gate = the reference's SP
+# acceptance threshold 3.5e-1 W/m2 (examples/CMakeLists.txt:1-5).
+if os.environ.get("DRIVE_FUSED_EQUIV", "1" if _on_tpu else "0") == "1":
+    print("[3e] production-shape absolute golden (f32 vs committed f64)")
+    from test_golden_regression import GOLDEN_DIR, production_setup
+
+    golden_p = np.load(os.path.join(GOLDEN_DIR, "production.npz"))
+    (gas_lw_p, gas_sw_p, cld_lw_p, cld_sw_p,
+     inp_p256) = production_setup(jnp.float32)
+    for label, flag in (("fused", True), ("XLA", False)):
+        set_use_pallas(flag)
+        try:
+            lw_g = jax.jit(lambda i: allsky_step_lw(
+                i, gas_lw_p, cloud_optics=cld_lw_p))(inp_p256)
+            sw_g = jax.jit(lambda i: allsky_step_sw(
+                i, gas_sw_p, cloud_optics=cld_sw_p))(inp_p256)
+        finally:
+            set_use_pallas(None)
+        for nm, a in (("lw_up", lw_g.flux_up), ("lw_dn", lw_g.flux_dn),
+                      ("sw_up", sw_g.flux_up), ("sw_dn", sw_g.flux_dn),
+                      ("sw_dir", sw_g.flux_dn_dir)):
+            err = float(np.abs(np.asarray(a, np.float64)
+                               - golden_p[nm]).max())
+            check(f"golden {nm} ({label} f32)", err <= 3.5e-1,
+                  f"max abs err {err:.2e} W/m2")
+
 # ---- 4. sharding equivalence handled by tests/dryrun (CPU mesh) -------------
 # (run in pytest suite; here probe error paths eagerly)
 print("[4] eager error paths")

@@ -82,7 +82,53 @@ def _allsky_case():
     return out
 
 
-CASES = {"rfmip": _rfmip_case, "allsky": _allsky_case}
+def production_setup(dtype):
+    """The production-shape all-sky configuration (256/224 gpt, 16/14
+    bands, 14 temps, 59 pressures, 256 columns x 72 layers) shared by the
+    golden gate below (f64, XLA path, CPU) and scripts/drive_verify.py's
+    on-TPU fused-path comparison — so the fused kernels are pinned
+    ABSOLUTELY against the committed f64 fluxes, not just relatively
+    against the same-session XLA path."""
+    from rte_rrtmgp_tpu.drivers.allsky import make_allsky_inputs
+    from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+    from rte_rrtmgp_tpu.utils.synthetic import (synthetic_cloud_optics,
+                                                synthetic_kdist)
+
+    kd_lw = synthetic_kdist(sw=False, ngpt=256, nbnd=16, ntemp=14,
+                            npres=59, dtype=dtype)
+    kd_sw = synthetic_kdist(sw=True, ngpt=224, nbnd=14, ntemp=14,
+                            npres=59, dtype=dtype)
+    gas_lw, gas_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+    cld_lw = synthetic_cloud_optics(
+        nbnd=16, band_lims_wvn=kd_lw.grid.band_lims_wvn_array, dtype=dtype)
+    cld_sw = synthetic_cloud_optics(
+        nbnd=14, band_lims_wvn=kd_sw.grid.band_lims_wvn_array, dtype=dtype)
+    inp = make_allsky_inputs(256, 72, cloud_optics=cld_lw, dtype=dtype)
+    return gas_lw, gas_sw, cld_lw, cld_sw, inp
+
+
+def _production_case():
+    """f64 XLA-path fluxes at production spectral shape. Catches absolute
+    drift in shared descriptor-prep/gas-optics code that the TPU
+    fused-vs-XLA relative check would miss if both paths drift together
+    (reference acceptance-gate semantics, compare-to-reference.py:52-60)."""
+    from rte_rrtmgp_tpu.config import set_use_pallas
+    from rte_rrtmgp_tpu.drivers.allsky import allsky_step_lw, allsky_step_sw
+
+    gas_lw, gas_sw, cld_lw, cld_sw, inp = production_setup(jnp.float64)
+    set_use_pallas(False)
+    try:
+        lw = allsky_step_lw(inp, gas_lw, cloud_optics=cld_lw)
+        sw = allsky_step_sw(inp, gas_sw, cloud_optics=cld_sw)
+    finally:
+        set_use_pallas(None)
+    return dict(lw_up=np.asarray(lw.flux_up), lw_dn=np.asarray(lw.flux_dn),
+                sw_up=np.asarray(sw.flux_up), sw_dn=np.asarray(sw.flux_dn),
+                sw_dir=np.asarray(sw.flux_dn_dir))
+
+
+CASES = {"rfmip": _rfmip_case, "allsky": _allsky_case,
+         "production": _production_case}
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
@@ -104,9 +150,11 @@ def test_golden(case):
             f"intended, regenerate via python -m tests.test_golden_regression")
 
 
-def regenerate():
+def regenerate(only=None):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for case, fn in CASES.items():
+        if only and case not in only:
+            continue
         out = fn()
         path = os.path.join(GOLDEN_DIR, f"{case}.npz")
         np.savez_compressed(path, **out)
@@ -115,8 +163,10 @@ def regenerate():
 
 
 if __name__ == "__main__":
+    import sys
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")    # match conftest.py
     jax.config.update("jax_enable_x64", True)
-    regenerate()
+    regenerate(only=sys.argv[1:] or None)

@@ -27,16 +27,31 @@ def test_weak_scaling_runs(lw_setup):
     gas, cld = lw_setup
 
     def make_inputs(ncol):
+        # 128 columns/device: each shard runs a full 128-lane column
+        # block (the Pallas kernels' steady-state granularity), not the
+        # padding path
         return make_allsky_inputs(ncol, 8, cloud_optics=cld)
 
     def step(i):
         f = allsky_step_lw(i, gas, cloud_optics=cld)
         return f.flux_up
 
-    r = weak_scaling(make_inputs, step, cols_per_device=16, reps=2)
+    r = weak_scaling(make_inputs, step, cols_per_device=128, reps=3)
     assert r["n_devices"] == NDEV
     assert r["cols_per_s_1dev"] > 0 and r["cols_per_s_ndev"] > 0
-    assert r["efficiency"] > 0  # CPU emulation gives no real speedup
+    # Virtual CPU devices share physical cores, so the achievable weak
+    # scaling here is min(ncores, n)/n of ideal (one core must run all
+    # n shards serially). Gate at 40% of THAT: accidental serialization
+    # of the shards on a multicore host, or a replicated-input blowup
+    # (every device processing all n*cols columns -> another factor n),
+    # fails this; honest time-sliced emulation passes. On real multi-chip
+    # hardware (ncores >= n) this gate is 0.4 absolute; the driver-set
+    # production target is 0.9 (BASELINE.md), measured by the same
+    # harness on a real slice.
+    import os
+    ncores = os.cpu_count() or 1
+    achievable = min(ncores, NDEV) / NDEV
+    assert r["efficiency"] > 0.4 * achievable, r
 
 
 def test_podscale_chunking_small():
