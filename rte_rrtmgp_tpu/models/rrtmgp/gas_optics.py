@@ -35,6 +35,41 @@ from .kdist import KDist
 __all__ = ["GasOpticsRRTMGP", "get_col_dry"]
 
 
+def _with_xla_grad(pallas_fn, xla_fn, *args):
+    """Make the fused Pallas path differentiable: the primal runs
+    ``pallas_fn``; the VJP is defined by ``xla_fn``, an XLA-path function
+    with the SAME argument list and output pytree.
+
+    The Pallas kernels are opaque to autodiff (no registered transpose).
+    The reference carries its surface-temperature Jacobian analytically
+    through the solver (rte/kernels/mo_rte_solver_kernels.F90:731-742);
+    here the full gradient w.r.t. every input (tlay, tlev, tsfc, gas
+    amounts, pressures, boundary fields, cloud optics) comes from
+    differentiating the mathematically-equivalent XLA formulation, whose
+    forward is recomputed from the saved primal inputs on the backward
+    pass (rematerialization: the residuals are the small non-spectral
+    inputs, never the (ngpt, nlay, ncol) fields)."""
+    @jax.custom_vjp
+    def run(*a):
+        return pallas_fn(*a)
+
+    def fwd(*a):
+        return pallas_fn(*a), a
+
+    def bwd(a, ct):
+        from ...config import get_config as _gc, set_use_pallas as _sup
+        prev = _gc().use_pallas
+        _sup(False)        # the reference path must trace pure XLA
+        try:
+            _, vjp = jax.vjp(xla_fn, *a)
+        finally:
+            _sup(prev)
+        return vjp(ct)
+
+    run.defvjp(fwd, bwd)
+    return run(*args)
+
+
 def get_col_dry(vmr_h2o, plev):
     """Number of dry-air molecules per cm^2 per layer (reference
     ``get_layer_number``, rte/kernels/mo_gas_optics_utils.F90:127-152)."""
@@ -465,23 +500,67 @@ class GasOpticsRRTMGP:
             return None
 
         self._check_key_species_present(gas_concs)
-        col_gas, _, idx_h2o = self._col_gas(play, plev, tlay, gas_concs,
-                                            col_dry)
-        play_c, tlay_c = play.T, tlay.T
-        col_gas_c = jnp.swapaxes(col_gas, 1, 2)
-        coeffs = self._interp(play_c, tlay_c, col_gas_c)
-        tlev_w = (jnp.asarray(tlev) if tlev is not None
-                  else self.interp_tlev(tlay, play, plev))
         ngpt, ncol = kd.ngpt, play.shape[0]
         inc = (inc_flux if inc_flux is not None
                else jnp.zeros((ngpt, ncol), play.dtype))
-        out = lw_fused_lanes(
-            coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
-            idx_h2o=idx_h2o, tlev_c=tlev_w.T, tsfc=tsfc,
-            emis=sfc_emis, inc=inc, ds=ds, weight=weight,
-            cloud_tau_abs=cloud_tau_abs, byband=byband,
-            interpret=not on_tpu)
+        tlev = None if tlev is None else jnp.asarray(tlev)
+
+        def pallas_run(play, plev, tlay, tsfc, gas_concs, sfc_emis, inc,
+                       tlev, col_dry, cloud_tau_abs):
+            col_gas, _, idx_h2o = self._col_gas(play, plev, tlay,
+                                                gas_concs, col_dry)
+            play_c, tlay_c = play.T, tlay.T
+            col_gas_c = jnp.swapaxes(col_gas, 1, 2)
+            coeffs = self._interp(play_c, tlay_c, col_gas_c)
+            tlev_w = (tlev if tlev is not None
+                      else self.interp_tlev(tlay, play, plev))
+            return lw_fused_lanes(
+                coeffs, kd, play_c=play_c, tlay_c=tlay_c,
+                col_gas_c=col_gas_c, idx_h2o=idx_h2o, tlev_c=tlev_w.T,
+                tsfc=tsfc, emis=sfc_emis, inc=inc, ds=ds, weight=weight,
+                cloud_tau_abs=cloud_tau_abs, byband=byband,
+                interpret=not on_tpu)
+
+        def xla_run(play, plev, tlay, tsfc, gas_concs, sfc_emis, inc,
+                    tlev, col_dry, cloud_tau_abs):
+            return self._lw_fused_xla_ref(
+                play, plev, tlay, tsfc, gas_concs, sfc_emis, inc, tlev,
+                col_dry, cloud_tau_abs, ds=ds, weight=weight, byband=byband)
+
+        out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay, tsfc,
+                             gas_concs, sfc_emis, inc, tlev, col_dry,
+                             cloud_tau_abs)
         return self._apply_poison(out, poison)
+
+    def _lw_fused_xla_ref(self, play, plev, tlay, tsfc, gas_concs,
+                          sfc_emis, inc, tlev, col_dry, cloud_tau_abs, *,
+                          ds, weight, byband):
+        """XLA-path computation equivalent to the fused LW kernel (same
+        argument/output layout); defines lw_fused_solve's gradient.
+        Inputs top-at-index-0; sfc_emis/inc are (ngpt, ncol) lane layout;
+        returns (flux_up, flux_dn) (nlay+1, ncol), or per-band
+        (nbnd, nlay+1, ncol) with ``byband``."""
+        from ...ops.solver_lw import lw_solver_noscat
+
+        kd = self.kdist
+        props, sources = self.gas_optics_lw(
+            play, plev, tlay, tsfc, gas_concs, tlev=tlev, col_dry=col_dry,
+            top_at_1=True)
+        tau = props.tau
+        if cloud_tau_abs is not None:
+            # by-band absorption increment, band -> g-point expansion
+            # (the fused kernel adds the (nbnd, nlay, ncol) field per band)
+            band = jnp.asarray(kd.grid.gpt2band)
+            tau = tau + jnp.transpose(cloud_tau_abs, (2, 1, 0))[:, :, band]
+        w0 = kd.ngpt // kd.grid.nband
+        f = lw_solver_noscat(
+            tau, sources.lay_source, sources.lev_source, sfc_emis.T,
+            sources.sfc_source, inc.T, top_at_1=True, ds=(ds,),
+            weights=(weight,), byband_width=(w0 if byband else None))
+        if byband:
+            return (jnp.transpose(f.flux_up, (2, 1, 0)),
+                    jnp.transpose(f.flux_dn, (2, 1, 0)))
+        return f.flux_up.T, f.flux_dn.T
 
     def sw_fused_solve(self, play, plev, tlay, gas_concs: GasConcs, *,
                        mu0, sfc_alb_dir, sfc_alb_dif, inc_flux=None,
@@ -518,21 +597,77 @@ class GasOpticsRRTMGP:
             return None
 
         self._check_key_species_present(gas_concs)
-        col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
-                                                    gas_concs, col_dry)
-        play_c, tlay_c = play.T, tlay.T
-        col_gas_c = jnp.swapaxes(col_gas, 1, 2)
-        coeffs = self._interp(play_c, tlay_c, col_gas_c)
         ngpt, ncol = kd.ngpt, play.shape[0]
         inc = (inc_flux if inc_flux is not None
                else jnp.broadcast_to(kd.solar_source[:, None], (ngpt, ncol)
                                      ).astype(play.dtype))
-        out = sw_fused_lanes(
-            coeffs, kd, play_c=play_c, tlay_c=tlay_c, col_gas_c=col_gas_c,
-            col_dry_c=col_dry_w.T, idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
-            sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
-            incdif=inc_flux_dif, byband=byband, interpret=not on_tpu)
+
+        def pallas_run(play, plev, tlay, gas_concs, mu0, sfc_alb_dir,
+                       sfc_alb_dif, inc, incdif, col_dry, cloud):
+            col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
+                                                        gas_concs, col_dry)
+            play_c, tlay_c = play.T, tlay.T
+            col_gas_c = jnp.swapaxes(col_gas, 1, 2)
+            coeffs = self._interp(play_c, tlay_c, col_gas_c)
+            return sw_fused_lanes(
+                coeffs, kd, play_c=play_c, tlay_c=tlay_c,
+                col_gas_c=col_gas_c, col_dry_c=col_dry_w.T,
+                idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
+                sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
+                incdif=incdif, byband=byband, interpret=not on_tpu)
+
+        def xla_run(play, plev, tlay, gas_concs, mu0, sfc_alb_dir,
+                    sfc_alb_dif, inc, incdif, col_dry, cloud):
+            return self._sw_fused_xla_ref(
+                play, plev, tlay, gas_concs, mu0, sfc_alb_dir, sfc_alb_dif,
+                inc, incdif, col_dry, cloud, byband=byband)
+
+        out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay,
+                             gas_concs, mu0, sfc_alb_dir, sfc_alb_dif, inc,
+                             inc_flux_dif, col_dry, cloud)
         return self._apply_poison(out, poison)
+
+    def _sw_fused_xla_ref(self, play, plev, tlay, gas_concs, mu0,
+                          sfc_alb_dir, sfc_alb_dif, inc, incdif, col_dry,
+                          cloud, *, byband):
+        """XLA-path computation equivalent to the fused SW kernel (same
+        argument/output layout); defines sw_fused_solve's gradient.
+        mu0 (nlay, ncol); boundary fields (ngpt, ncol); cloud optional
+        by-band delta-scaled (tau, ssa, g) each (nbnd, nlay, ncol).
+        Returns (flux_up, flux_dn_total, flux_dir) (nlay+1, ncol), or
+        per-band with ``byband``."""
+        from ...ops.solver_sw import sw_solver_2stream
+
+        kd = self.kdist
+        props, _ = self.gas_optics_sw(play, plev, tlay, gas_concs,
+                                      col_dry=col_dry, top_at_1=True)
+        tau, ssa, g = props.tau, props.ssa, props.g
+        if cloud is not None:
+            # by-band 2-stream increment, exactly the fused kernel's
+            # combine (tau-weighted ssa/g averaging with the reference's
+            # tiny-guards; increment_2stream_by_2stream semantics)
+            band = jnp.asarray(kd.grid.gpt2band)
+            exp = lambda x: jnp.transpose(x, (2, 1, 0))[:, :, band]
+            ct, cs, cg = exp(cloud[0]), exp(cloud[1]), exp(cloud[2])
+            tiny = jnp.asarray(np.finfo(np.float32).tiny, tau.dtype)
+            t = tau + ct
+            tauscat = tau * ssa + ct * cs
+            g12 = ((tau * ssa * g + ct * cs * cg)
+                   / jnp.maximum(tauscat, tiny))
+            ssa12 = tauscat / jnp.maximum(t, tiny)
+            g = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)
+            ssa = jnp.where(t > 2.0 * tiny, ssa12, ssa)
+            tau = t
+        w0 = kd.ngpt // kd.grid.nband
+        f = sw_solver_2stream(
+            tau, ssa, g, mu0.T, sfc_alb_dir.T, sfc_alb_dif.T, inc.T,
+            top_at_1=True,
+            inc_flux_dif=(None if incdif is None else incdif.T),
+            byband_width=(w0 if byband else None))
+        if byband:
+            return tuple(jnp.transpose(x, (2, 1, 0))
+                         for x in (f.flux_up, f.flux_dn, f.flux_dir))
+        return f.flux_up.T, f.flux_dn.T, f.flux_dir.T
 
     # ------------------------------------------------------------------
     def compute_optimal_angles(self, props: OpticalProps) -> jax.Array:
