@@ -1,0 +1,202 @@
+"""Audited hardware-limit calibration for the TPU part behind the axon
+tunnel (VERDICT round-2 item: the 138 GB/s "measured streaming bandwidth"
+was a single-size, dispatch-contaminated figure; the bench's roofline and
+VPU-utilization claims divide by these numbers, so they must be clean).
+
+Methodology — every number separates DISPATCH from DEVICE time by the
+slope method: for a chain of K dependent in-jit iterations of the same
+op (single dispatch, K x work), time(K) = dispatch + K * t_op; linear
+regression over K in {1, 2, 4, 8} yields t_op as the slope, immune to
+the ~1.6-1.9 ms/call tunnel dispatch overhead and the ~30 ms readback.
+
+  1. streaming bandwidth across sizes 64 MB -> 2 GB (elementwise
+     x*a+b: bytes = 2 x size per iteration),
+  2. dispatch overhead (trivial jit chain),
+  3. VPU elementwise VREG-op throughput (Pallas kernel, P independent
+     mul-add chains on VMEM-resident tiles, N loop iterations -> slope
+     over N; reported as f32 VREG-ops/s and, at an assumed issue width,
+     implied clock),
+  4. cross-lane gather throughput (Pallas kernel gathering R rows per
+     iteration -> rows/s; the fused kernels' dominant primitive,
+     previously measured ~2 cycles/row).
+
+Each result prints as a JSON line; run under scripts/tpu_run.py.
+Writes nothing — paste the numbers into docs/PERFORMANCE.md and use
+BENCH_VPU_GHZ / BENCH_HBM_MEASURED_GBS to feed bench.py.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def force(out):
+    np.asarray(jax.device_get(out.ravel()[-1:]))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def time_k(build_fn, ks=(1, 2, 4, 8), reps=5):
+    """min-over-reps wall time of build_fn(k) for each chain length k,
+    then the regression slope (s per unit k) and intercept (dispatch)."""
+    ts = []
+    for k in ks:
+        fn = build_fn(k)
+        out = fn()
+        force(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            force(out)
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    ks_a = np.asarray(ks, np.float64)
+    ts_a = np.asarray(ts, np.float64)
+    slope, intercept = np.polyfit(ks_a, ts_a, 1)
+    return float(slope), float(intercept), ts
+
+
+def main():
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+    x0 = jnp.zeros(8) + 1.0
+    force(x0)
+    print("# device ok", file=sys.stderr, flush=True)
+
+    # ---- 2. dispatch overhead (trivial op, K chained jit CALLS) ----
+    triv = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+    force(triv(z))
+    for k in (1, 8, 32):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = z
+            for _ in range(k):
+                o = triv(o)
+            force(o)
+            best = min(best, time.perf_counter() - t0)
+        emit(measure="dispatch_chain", calls=k, total_ms=round(best * 1e3, 3),
+             per_call_ms=round(best / k * 1e3, 3))
+
+    # ---- 1. streaming bandwidth vs size (slope method, single dispatch) --
+    for mb in (64, 256, 1024, 2048):
+        n = mb * 1024 * 1024 // 4
+        x = jnp.ones((n,), jnp.float32)
+
+        def build(k):
+            @jax.jit
+            def run(x):
+                def body(i, v):
+                    return v * 1.000001 + 1e-7
+                return jax.lax.fori_loop(0, k, body, x)
+            run_c = functools.partial(run, x)
+            return run_c
+
+        slope, icpt, ts = time_k(build)
+        bw = 2 * n * 4 / slope / 1e9 if slope > 0 else float("nan")
+        emit(measure="stream_bw", size_mb=mb,
+             slope_ms=round(slope * 1e3, 3),
+             dispatch_intercept_ms=round(icpt * 1e3, 3),
+             gbs=round(bw, 1),
+             raw_ms=[round(t * 1e3, 3) for t in ts])
+
+    # ---- 3. VPU elementwise VREG-op throughput (Pallas) ----
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = os.environ.get("CAL_INTERPRET", "0") == "1"  # CPU smoke
+    ROWS = 256           # 32 VREGs of (8, 128) f32 per op
+    GRID = 64
+
+    def vpu_kernel(x_ref, o_ref, *, n):
+        def body(i, v):
+            # 2 dependent VREG ops per iteration per VREG (mul + add);
+            # independent across the 32 VREGs of the tile
+            return v * 1.000001 + 1e-7
+        o_ref[:, :] = jax.lax.fori_loop(0, n, body, x_ref[:, :])
+
+    def build_vpu(k):
+        kern = functools.partial(vpu_kernel, n=k * 64)
+        f = pl.pallas_call(
+            kern,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((GRID * ROWS, 128), jnp.float32),
+            interpret=interpret,
+        )
+        xb = jnp.ones((GRID * ROWS, 128), jnp.float32)
+        jf = jax.jit(f)
+        return functools.partial(jf, xb)
+
+    slope, icpt, ts = time_k(build_vpu)
+    # per k: 64 iters x 2 ops x 32 VREGs x GRID blocks
+    vregops = 64 * 2 * (ROWS // 8) * GRID
+    rate = vregops / slope if slope > 0 else float("nan")
+    emit(measure="vpu_vregops", slope_ms=round(slope * 1e3, 3),
+         dispatch_intercept_ms=round(icpt * 1e3, 3),
+         vregops_per_s=f"{rate:.3e}",
+         implied_clock_ghz_at_1_per_cycle=round(rate / 1e9, 3),
+         raw_ms=[round(t * 1e3, 3) for t in ts])
+
+    # ---- 4. cross-lane gather throughput (rows/s) ----
+    TROWS = 32           # table rows gathered per _gather_rows call
+
+    def gather_kernel(t_ref, i_ref, o_ref, *, n):
+        idx = i_ref[0, :]
+        def body(j, v):
+            ix = jnp.broadcast_to(
+                ((idx + j) % 128)[None, :], (TROWS, 128))
+            g = jnp.take_along_axis(t_ref[:, :], ix, axis=1)
+            return v + g
+        o_ref[:, :] = jax.lax.fori_loop(0, n, body,
+                                        jnp.zeros((TROWS, 128), jnp.float32))
+
+    def build_gather(k):
+        kern = functools.partial(gather_kernel, n=k * 64)
+        f = pl.pallas_call(
+            kern,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((TROWS, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((GRID * TROWS, 128), jnp.float32),
+            interpret=interpret,
+        )
+        tab = jnp.ones((TROWS, 128), jnp.float32)
+        idx = jnp.arange(128, dtype=jnp.int32).reshape(1, 128)
+        jf = jax.jit(f)
+        return functools.partial(jf, tab, idx)
+
+    slope, icpt, ts = time_k(build_gather)
+    rows = 64 * TROWS * GRID          # rows gathered per unit k (+1 add op)
+    rate = rows / slope if slope > 0 else float("nan")
+    emit(measure="gather_rows", slope_ms=round(slope * 1e3, 3),
+         dispatch_intercept_ms=round(icpt * 1e3, 3),
+         rows_per_s=f"{rate:.3e}",
+         raw_ms=[round(t * 1e3, 3) for t in ts])
+
+
+if __name__ == "__main__":
+    main()
