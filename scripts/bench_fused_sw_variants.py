@@ -95,7 +95,8 @@ def build_sw_kernel_inputs(ncol=4096, nlay=72, ngpt=224, nbnd=14,
     mtab_lo, mtab_up = _minor_tables(kd, dtype)
 
     cld0 = cld.cloud_optics_lanes(inputs.lwp, inputs.iwp, inputs.rel,
-                                  inputs.dei)
+                                  inputs.dei,
+                                  interpret=jax.default_backend() == "cpu")
     cloud = _delta_scaled_band(*cld0, dtype)
 
     mu0 = jnp.broadcast_to(jnp.asarray(inputs.mu0, dtype)[None, :],
