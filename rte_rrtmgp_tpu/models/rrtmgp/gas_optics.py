@@ -35,39 +35,9 @@ from .kdist import KDist
 __all__ = ["GasOpticsRRTMGP", "get_col_dry"]
 
 
-def _with_xla_grad(pallas_fn, xla_fn, *args):
-    """Make the fused Pallas path differentiable: the primal runs
-    ``pallas_fn``; the VJP is defined by ``xla_fn``, an XLA-path function
-    with the SAME argument list and output pytree.
-
-    The Pallas kernels are opaque to autodiff (no registered transpose).
-    The reference carries its surface-temperature Jacobian analytically
-    through the solver (rte/kernels/mo_rte_solver_kernels.F90:731-742);
-    here the full gradient w.r.t. every input (tlay, tlev, tsfc, gas
-    amounts, pressures, boundary fields, cloud optics) comes from
-    differentiating the mathematically-equivalent XLA formulation, whose
-    forward is recomputed from the saved primal inputs on the backward
-    pass (rematerialization: the residuals are the small non-spectral
-    inputs, never the (ngpt, nlay, ncol) fields)."""
-    @jax.custom_vjp
-    def run(*a):
-        return pallas_fn(*a)
-
-    def fwd(*a):
-        return pallas_fn(*a), a
-
-    def bwd(a, ct):
-        from ...config import get_config as _gc, set_use_pallas as _sup
-        prev = _gc().use_pallas
-        _sup(False)        # the reference path must trace pure XLA
-        try:
-            _, vjp = jax.vjp(xla_fn, *a)
-        finally:
-            _sup(prev)
-        return vjp(ct)
-
-    run.defvjp(fwd, bwd)
-    return run(*args)
+# the custom-VJP bridge lives in ops/pallas/autodiff; imported under
+# the established private name for the call sites below
+from ...ops.pallas.autodiff import with_xla_grad as _with_xla_grad
 
 
 def get_col_dry(vmr_h2o, plev):

@@ -260,58 +260,81 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
         raise ValueError(f"lw_solver_noscat: byband_width {byband_width} "
                          f"does not tile ngpt {ngpt}")
 
+    def _xla_angles(tau, lay_source, lev_source, sfc_emis, sfc_src,
+                    inc_flux, ds_arr, sfc_src_jac, ssa, g):
+        """Pure-XLA multi-angle accumulation (+ byband grouping) — the
+        fall-through path AND the gradient definition of the Pallas
+        branch below."""
+        da = ds_arr
+        if da.ndim == 1:   # per-angle scalars
+            da = jnp.broadcast_to(da[:, None, None],
+                                  (da.shape[0], ncol, ngpt))
+        up = dn = jac = None
+        want_spectral = spectral or byband_width is not None
+        for imu in range(da.shape[0]):
+            w = float(weights[imu])
+            u, d, j = _oneangle(tau, lay_source, lev_source, sfc_emis,
+                                sfc_src, inc_flux, da[imu], w, sfc_src_jac,
+                                ssa, g, do_rescaling, do_jacobians,
+                                want_spectral)
+            piw = jnp.asarray(PI * w, dtype)
+            u, d = u * piw, d * piw
+            j = j * piw if j is not None else None
+            up = u if up is None else up + u
+            dn = d if dn is None else dn + d
+            jac = j if jac is None else jac + j
+        if byband_width is not None and not spectral:
+            # XLA byband fallback: group-sum the spectral fluxes
+            nb = ngpt // byband_width
+            group = lambda x: jnp.sum(
+                x.reshape(x.shape[0], x.shape[1], nb, byband_width), axis=-1)
+            up, dn = group(up), group(dn)
+        return up, dn, jac
+
     if not spectral and (scalar_ds or per_gpt_ds):
         # fused Pallas kernel (auto on TPU; forced/disabled via
         # config.use_pallas); multi-angle sums per-angle kernel launches
-        # exactly as the reference accumulates angles (:314-361)
+        # exactly as the reference accumulates angles (:314-361).
+        # Wrapped in the custom-VJP bridge: jax.grad works on this path,
+        # with the gradient defined by the XLA formulation above.
         from ..config import get_config, on_tpu as _on_tpu
         on_tpu = _on_tpu()
         cfg = get_config().use_pallas
         kernel_byband = byband_width is not None and 128 % byband_width == 0
         if ((on_tpu if cfg is None else cfg)
                 and (byband_width is None or kernel_byband)):
+            from .pallas.autodiff import with_xla_grad
             from .pallas.solver_lw_kernel import lw_noscat_broadband_lane
-            up = dn = jac = None
-            for imu in range(len(weights)):
-                u, d, j = lw_noscat_broadband_lane(
-                    tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
-                    ds=ds_arr[imu], weight=weights[imu],
-                    ssa=ssa, g=g, sfc_src_jac=sfc_src_jac,
-                    do_rescaling=do_rescaling, do_jacobians=do_jacobians,
-                    band_width=byband_width,
-                    interpret=not on_tpu)
-                up = u if up is None else up + u
-                dn = d if dn is None else dn + d
-                jac = j if jac is None else jac + j
+
+            def _pallas_angles(tau, lay_source, lev_source, sfc_emis,
+                               sfc_src, inc_flux, ds_arr, sfc_src_jac,
+                               ssa, g):
+                up = dn = jac = None
+                for imu in range(len(weights)):
+                    u, d, j = lw_noscat_broadband_lane(
+                        tau, lay_source, lev_source, sfc_emis, sfc_src,
+                        inc_flux, ds=ds_arr[imu], weight=weights[imu],
+                        ssa=ssa, g=g, sfc_src_jac=sfc_src_jac,
+                        do_rescaling=do_rescaling,
+                        do_jacobians=do_jacobians,
+                        band_width=byband_width, interpret=not on_tpu)
+                    up = u if up is None else up + u
+                    dn = d if dn is None else dn + d
+                    jac = j if jac is None else jac + j
+                return up, dn, jac
+
+            up, dn, jac = with_xla_grad(
+                _pallas_angles, _xla_angles, tau, lay_source, lev_source,
+                sfc_emis, sfc_src, inc_flux, ds_arr, sfc_src_jac, ssa, g)
             if not top_at_1:
                 up = jnp.flip(up, axis=1)
                 dn = jnp.flip(dn, axis=1)
                 jac = jnp.flip(jac, axis=1) if jac is not None else None
             return LWFluxes(flux_up=up, flux_dn=dn, flux_up_jac=jac)
 
-    if scalar_ds:  # per-angle scalars
-        ds_arr = jnp.broadcast_to(ds_arr[:, None, None], (ds_arr.shape[0], ncol, ngpt))
-    nmus = ds_arr.shape[0]
-
-    up = dn = jac = None
-    want_spectral = spectral or byband_width is not None
-    for imu in range(nmus):
-        w = float(weights[imu])
-        u, d, j = _oneangle(tau, lay_source, lev_source, sfc_emis, sfc_src,
-                            inc_flux, ds_arr[imu], w, sfc_src_jac, ssa, g,
-                            do_rescaling, do_jacobians, want_spectral)
-        piw = jnp.asarray(PI * w, dtype)
-        u, d = u * piw, d * piw
-        j = j * piw if j is not None else None
-        up = u if up is None else up + u
-        dn = d if dn is None else dn + d
-        jac = j if jac is None else jac + j
-    if byband_width is not None and not spectral:
-        # XLA byband fallback: group-sum the spectral fluxes
-        nb = ngpt // byband_width
-        group = lambda x: jnp.sum(
-            x.reshape(x.shape[0], x.shape[1], nb, byband_width), axis=-1)
-        up, dn = group(up), group(dn)
+    up, dn, jac = _xla_angles(tau, lay_source, lev_source, sfc_emis,
+                              sfc_src, inc_flux, ds_arr, sfc_src_jac,
+                              ssa, g)
 
     if not top_at_1:
         up = jnp.flip(up, axis=1)

@@ -143,49 +143,63 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
         mu0 = jnp.flip(mu0, axis=1)
 
+    def _xla_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                     inc_flux_dir, inc_flux_dif):
+        """Pure-XLA two-stream + adding (+ reduction) — the fall-through
+        path AND the gradient definition of the Pallas branch below."""
+        rdif, tdif, src_dn, src_up, src_sfc, flux_dir = sw_dif_and_source(
+            tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir)
+        flux_dn_top = (jnp.zeros_like(inc_flux_dir) if inc_flux_dif is None
+                       else inc_flux_dif)
+        flux_up, flux_dn = adding(sfc_alb_dif, rdif, tdif, src_dn, src_up,
+                                  src_sfc, flux_dn_top)
+        flux_dn = flux_dn + flux_dir   # total = diffuse + direct (ref :606)
+        if not spectral:
+            if byband_width is not None:
+                nb = ngpt // byband_width
+                group = lambda x: jnp.sum(x.reshape(
+                    x.shape[0], x.shape[1], nb, byband_width), axis=-1)
+                flux_up, flux_dn, flux_dir = (group(flux_up), group(flux_dn),
+                                              group(flux_dir))
+            else:
+                flux_up = jnp.sum(flux_up, axis=-1)
+                flux_dn = jnp.sum(flux_dn, axis=-1)
+                flux_dir = jnp.sum(flux_dir, axis=-1)
+        return flux_up, flux_dn, flux_dir
+
     if not spectral:
         # fused Pallas kernel keeps every intermediate in VMEM (auto on
-        # TPU; forced/disabled via config.use_pallas)
+        # TPU; forced/disabled via config.use_pallas); wrapped in the
+        # custom-VJP bridge so jax.grad works on this path, with the
+        # gradient defined by the XLA formulation above
         from ..config import get_config, on_tpu as _on_tpu
         on_tpu = _on_tpu()
         cfg = get_config().use_pallas
         kernel_byband = byband_width is not None and 128 % byband_width == 0
         if ((on_tpu if cfg is None else cfg)
                 and (byband_width is None or kernel_byband)):
+            from .pallas.autodiff import with_xla_grad
             from .pallas.solver_sw_kernel import sw_two_stream_broadband_lane
-            up, dn, fdir = sw_two_stream_broadband_lane(
-                tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif, inc_flux_dir,
-                inc_flux_dif, band_width=byband_width,
-                interpret=not on_tpu)
+
+            def _pallas_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                                inc_flux_dir, inc_flux_dif):
+                return sw_two_stream_broadband_lane(
+                    tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                    inc_flux_dir, inc_flux_dif, band_width=byband_width,
+                    interpret=not on_tpu)
+
+            up, dn, fdir = with_xla_grad(
+                _pallas_2stream, _xla_2stream, tau, ssa, g, mu0,
+                sfc_alb_dir, sfc_alb_dif, inc_flux_dir, inc_flux_dif)
             if not top_at_1:
                 up = jnp.flip(up, axis=1)
                 dn = jnp.flip(dn, axis=1)
                 fdir = jnp.flip(fdir, axis=1)
             return SWFluxes(flux_up=up, flux_dn=dn, flux_dir=fdir)
 
-    rdif, tdif, src_dn, src_up, src_sfc, flux_dir = sw_dif_and_source(
-        tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir)
-
-    if inc_flux_dif is None:
-        flux_dn_top = jnp.zeros_like(inc_flux_dir)
-    else:
-        flux_dn_top = inc_flux_dif
-
-    flux_up, flux_dn = adding(sfc_alb_dif, rdif, tdif, src_dn, src_up,
-                              src_sfc, flux_dn_top)
-    flux_dn = flux_dn + flux_dir   # total = diffuse + direct (reference :606)
-
-    if not spectral:
-        if byband_width is not None:
-            nb = ngpt // byband_width
-            group = lambda x: jnp.sum(x.reshape(
-                x.shape[0], x.shape[1], nb, byband_width), axis=-1)
-            flux_up, flux_dn, flux_dir = (group(flux_up), group(flux_dn),
-                                          group(flux_dir))
-        else:
-            flux_up = jnp.sum(flux_up, axis=-1)
-            flux_dn = jnp.sum(flux_dn, axis=-1)
-            flux_dir = jnp.sum(flux_dir, axis=-1)
+    flux_up, flux_dn, flux_dir = _xla_2stream(
+        tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif, inc_flux_dir,
+        inc_flux_dif)
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)
         flux_dn = jnp.flip(flux_dn, axis=1)

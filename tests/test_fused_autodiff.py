@@ -207,3 +207,78 @@ def test_grad_through_allsky_driver_fused(setup):
     g = np.asarray(jax.grad(loss)(inp.tlay))
     assert g.shape == (NCOL, NLAY) and np.all(np.isfinite(g))
     assert np.any(g != 0.0)
+
+
+def test_solver_level_grads_lw():
+    """jax.grad through ops.solver_lw.lw_solver_noscat with the Pallas
+    kernel selected (the staged-path dispatch point) matches the XLA
+    path, including the rescaled (Tang 2018) variant."""
+    from rte_rrtmgp_tpu.ops.solver_lw import lw_solver_noscat
+
+    rng = np.random.default_rng(3)
+    ncol, nlay, ngpt = 4, 6, 16
+    tau = jnp.asarray(rng.uniform(0.05, 2.0, (ncol, nlay, ngpt)), jnp.float32)
+    lay = jnp.asarray(rng.uniform(5.0, 20.0, (ncol, nlay, ngpt)), jnp.float32)
+    lev = jnp.asarray(rng.uniform(5.0, 20.0, (ncol, nlay + 1, ngpt)),
+                      jnp.float32)
+    emis = jnp.full((ncol, ngpt), 0.95, jnp.float32)
+    ssrc = jnp.asarray(rng.uniform(10.0, 30.0, (ncol, ngpt)), jnp.float32)
+    inc = jnp.zeros((ncol, ngpt), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0.05, 0.6, (ncol, nlay, ngpt)), jnp.float32)
+    gg = jnp.asarray(rng.uniform(0.0, 0.7, (ncol, nlay, ngpt)), jnp.float32)
+
+    for rescale in (False, True):
+        def loss(tau, lay, ssrc, use_pallas):
+            set_use_pallas(use_pallas)
+            try:
+                f = lw_solver_noscat(
+                    tau, lay, lev, emis, ssrc, inc, top_at_1=True,
+                    ds=(1.66,), weights=(0.5,),
+                    ssa=ssa if rescale else None, g=gg if rescale else None,
+                    do_rescaling=rescale)
+            finally:
+                set_use_pallas(None)
+            return jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
+
+        gp = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(
+            tau, lay, ssrc)
+        gx = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(
+            tau, lay, ssrc)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+        assert all(np.any(np.asarray(b) != 0.0) for b in gx)
+
+
+def test_solver_level_grads_sw():
+    """jax.grad through ops.solver_sw.sw_solver_2stream with the Pallas
+    kernel selected matches the XLA path (incl. w.r.t. mu0 and albedo)."""
+    from rte_rrtmgp_tpu.ops.solver_sw import sw_solver_2stream
+
+    rng = np.random.default_rng(4)
+    ncol, nlay, ngpt = 4, 6, 16
+    tau = jnp.asarray(rng.uniform(0.05, 1.5, (ncol, nlay, ngpt)), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0.2, 0.95, (ncol, nlay, ngpt)), jnp.float32)
+    gg = jnp.asarray(rng.uniform(0.0, 0.8, (ncol, nlay, ngpt)), jnp.float32)
+    mu0 = jnp.full((ncol, nlay), 0.6, jnp.float32)
+    alb = jnp.full((ncol, ngpt), 0.25, jnp.float32)
+    inc = jnp.asarray(rng.uniform(2.0, 8.0, (ncol, ngpt)), jnp.float32)
+
+    def loss(tau, ssa, mu0, alb, use_pallas):
+        set_use_pallas(use_pallas)
+        try:
+            f = sw_solver_2stream(tau, ssa, gg, mu0, alb, alb, inc,
+                                  top_at_1=True)
+        finally:
+            set_use_pallas(None)
+        return (jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
+                + 0.25 * jnp.sum(f.flux_dir))
+
+    gp = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(
+        tau, ssa, mu0, alb)
+    gx = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(
+        tau, ssa, mu0, alb)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    assert all(np.any(np.asarray(b) != 0.0) for b in gx)
