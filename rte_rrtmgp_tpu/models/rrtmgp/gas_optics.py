@@ -121,6 +121,54 @@ class GasOpticsRRTMGP:
     def _compute_taus(self, play, plev, tlay, gas_concs, col_dry, top_at_1,
                       scattering: bool, raw_lanes: bool = False,
                       split_rayleigh: bool = False):
+        """compute_gas_taus with autodiff support on the Pallas path.
+
+        When the Pallas lane-gather kernels would run (opaque to JAX AD),
+        the computation is wrapped in the custom-VJP bridge: the backward
+        pass re-traces the SAME implementation with Pallas forced off, so
+        jax.grad through gas_optics_lw/gas_optics_sw works regardless of
+        the kernel tier. In that case the returned ``coeffs`` slot is
+        None (interpolation state does not cross the AD boundary; no
+        caller consumes it). The ``raw_lanes`` lane-layout contract is
+        unchanged (the grand-fused path has its own VJP in
+        lw_fused_solve/sw_fused_solve)."""
+        if raw_lanes:
+            return self._compute_taus_impl(
+                play, plev, tlay, gas_concs, col_dry, top_at_1, scattering,
+                raw_lanes=True, split_rayleigh=split_rayleigh)
+        kd = self.kdist
+        cfg = get_config().use_pallas
+        pallas_engaged = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
+                          and (_on_tpu() if cfg is None else cfg)
+                          and kd.kmajor_lane is not None)
+        if not pallas_engaged:
+            return self._compute_taus_impl(play, plev, tlay, gas_concs,
+                                           col_dry, top_at_1, scattering)
+
+        play = jnp.asarray(play)
+        plev = jnp.asarray(plev)
+        tlay = jnp.asarray(tlay)
+
+        def arm(play, plev, tlay, gas_concs, col_dry):
+            props, _, pfrac = self._compute_taus_impl(
+                play, plev, tlay, gas_concs, col_dry, top_at_1, scattering)
+            return props.tau, (props.ssa if scattering else None), pfrac
+
+        tau, ssa, pfrac = _with_xla_grad(arm, arm, play, plev, tlay,
+                                         gas_concs, col_dry)
+        if scattering:
+            props = OpticalProps2str(tau=tau, ssa=ssa,
+                                     g=jnp.zeros_like(tau),
+                                     grid=self.grid, top_at_1=top_at_1)
+        else:
+            props = OpticalProps1scl(tau=tau, grid=self.grid,
+                                     top_at_1=top_at_1)
+        return props, None, pfrac
+
+    def _compute_taus_impl(self, play, plev, tlay, gas_concs, col_dry,
+                           top_at_1, scattering: bool,
+                           raw_lanes: bool = False,
+                           split_rayleigh: bool = False):
         """compute_gas_taus equivalent: absorption (+ Rayleigh) optical
         depths and the interpolation coefficients for the source function.
 

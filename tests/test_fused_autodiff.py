@@ -282,3 +282,63 @@ def test_solver_level_grads_sw():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
     assert all(np.any(np.asarray(b) != 0.0) for b in gx)
+
+
+def test_gas_optics_level_grads(setup):
+    """jax.grad through the PUBLIC gas-optics API (gas_optics_lw ->
+    lw_solver_noscat; gas_optics_sw -> sw_solver_2stream) with the Pallas
+    lane-gather kernels selected — the staged (non-grand-fused) tier —
+    matches the XLA path."""
+    from rte_rrtmgp_tpu.ops.solver_lw import lw_solver_noscat
+    from rte_rrtmgp_tpu.ops.solver_sw import sw_solver_2stream
+
+    gas_lw, gas_sw, inp = setup
+    dtype = inp.play.dtype
+    emis = jnp.broadcast_to(inp.sfc_emis[:, 0][:, None],
+                            (NCOL, gas_lw.ngpt))
+    mu0 = jnp.broadcast_to(jnp.asarray(inp.mu0, dtype)[:, None],
+                           (NCOL, NLAY))
+    alb = jnp.broadcast_to(inp.sfc_alb[:, 0][:, None], (NCOL, gas_sw.ngpt))
+
+    def loss_lw(tlay, gas_concs, use_pallas):
+        set_use_pallas(use_pallas)
+        try:
+            props, src = gas_lw.gas_optics_lw(
+                inp.play, inp.plev, tlay, inp.tsfc, gas_concs,
+                tlev=inp.tlev, top_at_1=True)
+            f = lw_solver_noscat(
+                props.tau, src.lay_source, src.lev_source, emis,
+                src.sfc_source, jnp.zeros((NCOL, gas_lw.ngpt), dtype),
+                top_at_1=True, ds=(GAUSS_DS[0][0],),
+                weights=(GAUSS_WTS[0][0],))
+        finally:
+            set_use_pallas(None)
+        return jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
+
+    def loss_sw(tlay, gas_concs, use_pallas):
+        set_use_pallas(use_pallas)
+        try:
+            props, toa = gas_sw.gas_optics_sw(
+                inp.play, inp.plev, tlay, gas_concs, top_at_1=True)
+            f = sw_solver_2stream(props.tau, props.ssa, props.g, mu0,
+                                  alb, alb, toa.astype(dtype),
+                                  top_at_1=True)
+        finally:
+            set_use_pallas(None)
+        return jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
+
+    # Two stacked custom-VJP boundaries (gas optics -> solver): the inner
+    # backward is linearized at the Pallas forward's primal values, which
+    # differ from the XLA forward's by f32 rounding (~1e-7 rel), amplified
+    # through the nonlinear solve — hence a looser gate than the
+    # single-boundary tests above.
+    for loss in (loss_lw, loss_sw):
+        gp = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1))(
+            inp.tlay, inp.gas_concs)
+        gx = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1))(
+            inp.tlay, inp.gas_concs)
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-8)
+        assert np.any(np.asarray(gx[0]) != 0.0)
