@@ -141,10 +141,6 @@ class CloudOpticsRRTMGP:
         ciwp = jnp.asarray(ciwp, clwp.dtype)
         reliq = jnp.asarray(reliq, clwp.dtype)
         dgice = jnp.asarray(dgice, clwp.dtype)
-        liqmsk = clwp > 0.0
-        icemsk = ciwp > 0.0
-
-        icergh0 = self.icergh - 1
 
         import jax as _jax
         on_tpu = _on_tpu()
@@ -153,44 +149,24 @@ class CloudOpticsRRTMGP:
                       and (on_tpu if cfg_pallas is None else cfg_pallas))
 
         if use_pallas:
-            dtype = clwp.dtype
-            ncol, nlay = clwp.shape
-            ncell = ncol * nlay
-            nbnd = self.grid.ngpt
+            def pallas_arm(clwp, ciwp, reliq, dgice):
+                out, ncol, nlay, nbnd = self._lane_triplet_raw(
+                    clwp, ciwp, reliq, dgice, interpret=not on_tpu,
+                    cells_lm=False)
+                tau = out[:nbnd].T.reshape(ncol, nlay, nbnd)
+                taussa = out[nbnd:2 * nbnd].T.reshape(ncol, nlay, nbnd)
+                taussag = out[2 * nbnd:].T.reshape(ncol, nlay, nbnd)
+                return tau, taussa, taussag
 
-            def phase_idx(re, nsteps, step, offset):
-                pos = (re - offset) / step
-                idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
-                                nsteps - 2)
-                return idx0.reshape(ncell), (pos - idx0.astype(dtype)
-                                             ).reshape(ncell)
-            li, lf = phase_idx(reliq, self.liq_nsteps, self.liq_step_size,
-                               self.radliq_lwr)
-            ii, if_ = phase_idx(dgice, self.ice_nsteps, self.ice_step_size,
-                                self.diamice_lwr)
-            idx = jnp.stack([li, ii], 0)
-            fint = jnp.stack([lf, if_], 0)
-            wp = jnp.stack([(clwp * liqmsk.astype(dtype)).reshape(ncell),
-                            (ciwp * icemsk.astype(dtype)).reshape(ncell)], 0)
-            out, n = cloud_props_lane(idx, fint, wp, self.liq_lane,
-                                      self.ice_lane[icergh0], nbnd=nbnd,
-                                      interpret=not on_tpu)
-            out = out[:, :n]
-            tau = out[:nbnd].T.reshape(ncol, nlay, nbnd)
-            taussa = out[nbnd:2 * nbnd].T.reshape(ncol, nlay, nbnd)
-            taussag = out[2 * nbnd:].T.reshape(ncol, nlay, nbnd)
+            # custom-VJP bridge: jax.grad w.r.t. water paths and particle
+            # sizes works with the lane kernel selected (backward = the
+            # XLA table-interp path)
+            from ...ops.pallas.autodiff import with_xla_grad
+            tau, taussa, taussag = with_xla_grad(
+                pallas_arm, self._triplet_xla, clwp, ciwp, reliq, dgice)
         else:
-            ltau, ltaussa, ltaussag = self._phase_props(
-                clwp, reliq, liqmsk, (self.extliq, self.ssaliq, self.asyliq),
-                self.liq_nsteps, self.liq_step_size, self.radliq_lwr)
-            itau, itaussa, itaussag = self._phase_props(
-                ciwp, dgice, icemsk,
-                (self.extice[icergh0], self.ssaice[icergh0],
-                 self.asyice[icergh0]),
-                self.ice_nsteps, self.ice_step_size, self.diamice_lwr)
-            tau = ltau + itau
-            taussa = ltaussa + itaussa
-            taussag = ltaussag + itaussag
+            tau, taussa, taussag = self._triplet_xla(clwp, ciwp, reliq,
+                                                     dgice)
 
         if not scattering:
             # absorption-only: (1-ssa) tau = tau - taussa
@@ -202,30 +178,39 @@ class CloudOpticsRRTMGP:
         return OpticalProps2str(tau=tau, ssa=ssa, g=g, grid=self.grid,
                                 top_at_1=top_at_1)
 
-    def cloud_optics_lanes(self, clwp, ciwp, reliq, dgice, *,
-                           interpret: bool = False):
-        """Lane-layout cloud optics for the fused pipeline: returns
-        (tau, tau*ssa, tau*ssa*g) BY BAND, each (nbnd, nlay, ncol) — the
-        cloud LUT kernel's native output with layer-major cells — or None
-        when the lane tables are unavailable. Inputs are the usual
-        (ncol, nlay) user-layout fields."""
-        if self.liq_lane is None or self.ice_lane is None:
-            return None
-        clwp = jnp.asarray(clwp)
-        ciwp = jnp.asarray(ciwp, clwp.dtype)
-        reliq = jnp.asarray(reliq, clwp.dtype)
-        dgice = jnp.asarray(dgice, clwp.dtype)
+    def _triplet_xla(self, clwp, ciwp, reliq, dgice):
+        """(tau, tau*ssa, tau*ssa*g), each (ncol, nlay, nbnd), via the
+        XLA table interpolation — the fall-back path AND the gradient
+        definition of the lane-kernel path."""
+        icergh0 = self.icergh - 1
+        ltau, ltaussa, ltaussag = self._phase_props(
+            clwp, reliq, clwp > 0.0,
+            (self.extliq, self.ssaliq, self.asyliq),
+            self.liq_nsteps, self.liq_step_size, self.radliq_lwr)
+        itau, itaussa, itaussag = self._phase_props(
+            ciwp, dgice, ciwp > 0.0,
+            (self.extice[icergh0], self.ssaice[icergh0],
+             self.asyice[icergh0]),
+            self.ice_nsteps, self.ice_step_size, self.diamice_lwr)
+        return (ltau + itau, ltaussa + itaussa, ltaussag + itaussag)
+
+    def _lane_triplet_raw(self, clwp, ciwp, reliq, dgice, *, interpret,
+                          cells_lm):
+        """Run the cloud LUT lane kernel; returns (out rows, ncol, nlay,
+        nbnd) with out = [tau; tau*ssa; tau*ssa*g] stacked by band over
+        flattened cells (layer-major when ``cells_lm``)."""
         dtype = clwp.dtype
         ncol, nlay = clwp.shape
         ncell = ncol * nlay
         nbnd = self.grid.ngpt
         icergh0 = self.icergh - 1
+        flat = (lambda x: x.T.reshape(ncell)) if cells_lm \
+            else (lambda x: x.reshape(ncell))
 
         def phase_idx(re, nsteps, step, offset):
             pos = (re - offset) / step
             idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nsteps - 2)
-            return (idx0.T.reshape(ncell),
-                    (pos - idx0.astype(dtype)).T.reshape(ncell))
+            return flat(idx0), flat(pos - idx0.astype(dtype))
 
         li, lf = phase_idx(reliq, self.liq_nsteps, self.liq_step_size,
                            self.radliq_lwr)
@@ -233,17 +218,44 @@ class CloudOpticsRRTMGP:
                             self.diamice_lwr)
         idx = jnp.stack([li, ii], 0)
         fint = jnp.stack([lf, if_], 0)
-        wp = jnp.stack([
-            (clwp * (clwp > 0.0).astype(dtype)).T.reshape(ncell),
-            (ciwp * (ciwp > 0.0).astype(dtype)).T.reshape(ncell)], 0)
+        wp = jnp.stack([flat(clwp * (clwp > 0.0).astype(dtype)),
+                        flat(ciwp * (ciwp > 0.0).astype(dtype))], 0)
         out, n = cloud_props_lane(idx, fint, wp, self.liq_lane,
                                   self.ice_lane[icergh0], nbnd=nbnd,
                                   interpret=interpret)
-        out = out[:, :n]
-        tau = out[:nbnd].reshape(nbnd, nlay, ncol)
-        taussa = out[nbnd:2 * nbnd].reshape(nbnd, nlay, ncol)
-        taussag = out[2 * nbnd:].reshape(nbnd, nlay, ncol)
-        return tau, taussa, taussag
+        return out[:, :n], ncol, nlay, nbnd
+
+    def cloud_optics_lanes(self, clwp, ciwp, reliq, dgice, *,
+                           interpret: bool = False):
+        """Lane-layout cloud optics for the fused pipeline: returns
+        (tau, tau*ssa, tau*ssa*g) BY BAND, each (nbnd, nlay, ncol) — the
+        cloud LUT kernel's native output with layer-major cells — or None
+        when the lane tables are unavailable. Inputs are the usual
+        (ncol, nlay) user-layout fields. Differentiable (custom VJP via
+        the XLA table interpolation)."""
+        if self.liq_lane is None or self.ice_lane is None:
+            return None
+        clwp = jnp.asarray(clwp)
+        ciwp = jnp.asarray(ciwp, clwp.dtype)
+        reliq = jnp.asarray(reliq, clwp.dtype)
+        dgice = jnp.asarray(dgice, clwp.dtype)
+
+        def pallas_arm(clwp, ciwp, reliq, dgice):
+            out, ncol, nlay, nbnd = self._lane_triplet_raw(
+                clwp, ciwp, reliq, dgice, interpret=interpret,
+                cells_lm=True)
+            tau = out[:nbnd].reshape(nbnd, nlay, ncol)
+            taussa = out[nbnd:2 * nbnd].reshape(nbnd, nlay, ncol)
+            taussag = out[2 * nbnd:].reshape(nbnd, nlay, ncol)
+            return tau, taussa, taussag
+
+        def xla_arm(clwp, ciwp, reliq, dgice):
+            lane = lambda x: jnp.transpose(x, (2, 1, 0))
+            return tuple(lane(x) for x in
+                         self._triplet_xla(clwp, ciwp, reliq, dgice))
+
+        from ...ops.pallas.autodiff import with_xla_grad
+        return with_xla_grad(pallas_arm, xla_arm, clwp, ciwp, reliq, dgice)
 
     def validate_inputs(self, clwp, ciwp, reliq, dgice) -> None:
         """Eager bounds checks (reference :346-353)."""

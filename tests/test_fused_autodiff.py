@@ -195,18 +195,25 @@ def test_grad_through_allsky_driver_fused(setup):
         nbnd=4, band_lims_wvn=gas_lw.kdist.grid.band_lims_wvn_array)
 
     @jax.jit
-    def loss(tlay):
+    def loss(tlay, lwp, rel):
         set_use_pallas(True)
         try:
-            f = allsky_step_lw(inp._replace(tlay=tlay), gas_lw,
-                               cloud_optics=cld)
+            f = allsky_step_lw(inp._replace(tlay=tlay, lwp=lwp, rel=rel),
+                               gas_lw, cloud_optics=cld)
         finally:
             set_use_pallas(None)
         return jnp.sum(f.flux_net)
 
-    g = np.asarray(jax.grad(loss)(inp.tlay))
-    assert g.shape == (NCOL, NLAY) and np.all(np.isfinite(g))
-    assert np.any(g != 0.0)
+    # gradients flow through the fused gas-optics+solve AND the cloud
+    # LUT lane kernel (w.r.t. water path and droplet size)
+    g, g_lwp, g_rel = jax.grad(loss, argnums=(0, 1, 2))(
+        inp.tlay, inp.lwp, inp.rel)
+    for arr in (g, g_lwp, g_rel):
+        arr = np.asarray(arr)
+        assert arr.shape == (NCOL, NLAY) and np.all(np.isfinite(arr))
+    assert np.any(np.asarray(g) != 0.0)
+    assert np.any(np.asarray(g_lwp) != 0.0)
+    assert np.any(np.asarray(g_rel) != 0.0)
 
 
 def test_solver_level_grads_lw():
