@@ -126,3 +126,28 @@ def test_vpu_cycle_budget_fields():
     # should be the right order of magnitude in the model
     assert 200 < out["vpu_model_lw_cycles_per_layer_block"] < 1200
     assert 100 < out["vpu_model_sw_cycles_per_layer_block"] < 1200
+
+
+@pytest.mark.parametrize("config", ["allsky", "rfmip"])
+def test_bench_child_runs_on_cpu(config):
+    """The real bench child code (the exact code the driver runs on TPU)
+    executes end-to-end on the CPU/XLA path at tiny sizes and emits a
+    valid JSON result line — so a NameError/refactor break in bench.py's
+    measurement code fails CI, not the round's perf capture."""
+    env = dict(os.environ,
+               BENCH_NCOL="128", BENCH_NLAY="8",
+               BENCH_REPS="1", BENCH_INNER="1",
+               BENCH_RFMIP_NSITE="4", BENCH_RFMIP_NLAY="8",
+               BENCH_RFMIP_NEXP="2",
+               JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, BENCH, "--child", config],
+                       capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(ln) for ln in r.stdout.splitlines()
+             if ln.strip().startswith("{")]
+    assert len(lines) == 1
+    assert lines[0]["value"] > 0 and lines[0]["unit"] == "columns/s"
+    if config == "allsky":
+        assert 0.0 < lines[0]["vpu_utilization"]       # cycle-budget fields
+        assert lines[0]["roofline_model_bytes"] > 0

@@ -270,3 +270,18 @@ def test_rte_byband_matches_spectral_reduction():
         np.asarray(f_bb.flux_up),
         np.asarray(sum_byband(f_sp.flux_up, grid_ragged)),
         rtol=1e-6, atol=1e-10)
+
+
+def test_gradient_retrieval_example():
+    """The gradient-retrieval example (examples/gradient_retrieval.py)
+    converges: surface temperature recovered within 0.5 K from an 8 K
+    perturbation and the water-vapor scale within 2%, by gradient descent
+    through gas optics + solver (differentiability the reference lacks)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.gradient_retrieval import main
+
+    t_err, s_err = main(steps=120, verbose=False)
+    assert t_err < 0.5, t_err
+    assert s_err < 0.02, s_err
