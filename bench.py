@@ -219,13 +219,15 @@ def child_main(config):
 # supervisor: wedge-proof runner (NO jax import here)
 # ---------------------------------------------------------------------------
 
-def _run_child(config, log_path, pre_s, stall_s):
+def _run_child(config, log_path, pre_s, stall_s, deadline):
     """Run one config attempt under a stall watchdog.
 
-    Returns (rc, json_lines). rc=124 means killed for stalling. The stall
-    window is `pre_s` until the child logs "device ok" (its first tiny
-    device readback — the op the axon wedge freezes), then `stall_s`
-    (long Mosaic compiles are legitimately silent for minutes)."""
+    Returns (rc, json_lines). rc=124 means killed for stalling, rc=125
+    killed at the wall `deadline` (a healthy-but-slow child must not eat
+    the whole budget and starve the other configs). The stall window is
+    `pre_s` until the child logs "device ok" (its first tiny device
+    readback — the op the axon wedge freezes), then `stall_s` (long
+    Mosaic compiles are legitimately silent for minutes)."""
     if os.environ.get("BENCH_CHILD_CMD"):
         cmd = os.environ["BENCH_CHILD_CMD"].split() + [config]
     else:
@@ -248,15 +250,19 @@ def _run_child(config, log_path, pre_s, stall_s):
                 except OSError:
                     pass
             window = stall_s if probed else pre_s
-            if time.time() - os.path.getmtime(log_path) > window:
-                print(f"# bench[{config}]: stalled ({window}s no output); "
-                      f"killing pg", file=sys.stderr, flush=True)
+            stalled = time.time() - os.path.getmtime(log_path) > window
+            overtime = time.time() > deadline
+            if stalled or overtime:
+                why = (f"stalled ({window}s no output)" if stalled
+                       else "wall deadline reached")
+                print(f"# bench[{config}]: {why}; killing pg",
+                      file=sys.stderr, flush=True)
                 try:
                     os.killpg(p.pid, signal.SIGKILL)
                 except OSError:
                     p.kill()
                 p.wait()
-                rc = 124
+                rc = 124 if stalled else 125
                 break
     lines = []
     try:
@@ -282,14 +288,27 @@ def supervisor_main():
     stall_s = float(os.environ.get("BENCH_STALL_S", "900"))
     cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "60"))
     max_tries = int(os.environ.get("BENCH_TRIES", "6"))
+    # per-attempt wall cap: a healthy-but-slow child (it logs every rep,
+    # so the stall watchdog never fires) must not starve the remaining
+    # configs of the whole budget; generous enough for a cold multi-
+    # minute Mosaic compile
+    attempt_cap = float(os.environ.get("BENCH_ATTEMPT_CAP_S", "900"))
     want = os.environ.get("BENCH_CONFIGS", "")
-    configs = ([c for c in want.split(",") if c in CONFIGS]
-               if want and want != "all" else list(CONFIGS))
+    if want and want != "all":
+        configs = [c.strip() for c in want.split(",") if c.strip()]
+        unknown = [c for c in configs if c not in CONFIGS]
+        if unknown or not configs:
+            print(f"# bench: unknown BENCH_CONFIGS {unknown or want!r}; "
+                  f"valid: {', '.join(CONFIGS)}", file=sys.stderr,
+                  flush=True)
+            return 2
+    else:
+        configs = list(CONFIGS)
     t_start = time.time()
     remaining = lambda: budget_s - (time.time() - t_start)
+    hard_deadline = t_start + budget_s
 
     results = {}
-    flagship_line = None
     for config in configs:
         # the flagship may consume up to the full budget; secondaries only
         # run while budget remains (flagship-first ordering protects it)
@@ -297,22 +316,28 @@ def supervisor_main():
         while attempt < max_tries and remaining() > pre_s + 10:
             attempt += 1
             log_path = os.path.join(
-                "/tmp", f"bench_{config}_a{attempt}.log")
+                "/tmp", f"bench_{config}_a{attempt}_{os.getpid()}.log")
             print(f"# bench[{config}]: attempt {attempt} "
                   f"(budget left {remaining():.0f}s)",
                   file=sys.stderr, flush=True)
-            rc, lines = _run_child(config, log_path, pre_s, stall_s)
-            if rc == 0 and lines:
+            rc, lines = _run_child(
+                config, log_path, pre_s, stall_s,
+                min(hard_deadline, time.time() + attempt_cap))
+            if lines:
+                # a measured result counts even if the child then died
+                # (e.g. killed during teardown): never discard data
+                if rc != 0:
+                    print(f"# bench[{config}]: rc={rc} after emitting "
+                          f"result; keeping it", file=sys.stderr,
+                          flush=True)
                 for obj in lines:
                     results[config] = obj
-                    if config == FLAGSHIP:
-                        flagship_line = obj
                     # print the moment it is measured so partial results
                     # survive any later wedge
                     print(json.dumps(obj), flush=True)
                 break
             print(f"# bench[{config}]: attempt {attempt} failed "
-                  f"(rc={rc}, {len(lines)} json lines); cooldown "
+                  f"(rc={rc}, no json lines); cooldown "
                   f"{cooldown:.0f}s", file=sys.stderr, flush=True)
             if remaining() > cooldown + pre_s + 10:
                 time.sleep(cooldown)
@@ -324,10 +349,12 @@ def supervisor_main():
 
     # re-print the flagship line last: robust to drivers that parse either
     # the first or the last JSON line of stdout
-    if flagship_line is not None:
-        print(json.dumps(flagship_line), flush=True)
-        return 0
-    return 1
+    if FLAGSHIP in results:
+        print(json.dumps(results[FLAGSHIP]), flush=True)
+    # success = every requested config was measured (the flagship is only
+    # required when it was requested, e.g. not under a restricted
+    # BENCH_CONFIGS=clear-sky run)
+    return 0 if all(c in results for c in configs) else 1
 
 
 if __name__ == "__main__":

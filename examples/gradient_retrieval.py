@@ -49,17 +49,45 @@ def main(ncol=8, nlay=16, steps=120, verbose=True):
         up, dn = forward(tsfc, log_h2o_scale)
         return jnp.mean((up - obs_up) ** 2) + jnp.mean((dn - obs_dn) ** 2)
 
-    import optax
+    try:
+        import optax
+        opt = optax.adam(0.2)
+        apply_updates = optax.apply_updates
+    except ImportError:      # optional dependency (pyproject [examples])
+        # minimal Adam so the example is self-contained without optax
+        import types
+        b1, b2, lr, eps = 0.9, 0.999, 0.2, 1e-8
+
+        def init(params):
+            z = jax.tree_util.tree_map(jnp.zeros_like, params)
+            return (z, z, jnp.zeros((), jnp.int32))
+
+        def update(g, state, params=None):
+            m, v, t = state
+            t = t + 1
+            m = jax.tree_util.tree_map(lambda a, b: b1 * a + (1 - b1) * b,
+                                       m, g)
+            v = jax.tree_util.tree_map(
+                lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+            bc1 = 1 - b1 ** t.astype(jnp.float32)
+            bc2 = 1 - b2 ** t.astype(jnp.float32)
+            upd = jax.tree_util.tree_map(
+                lambda mm, vv: -lr * (mm / bc1)
+                / (jnp.sqrt(vv / bc2) + eps), m, v)
+            return upd, (m, v, t)
+
+        opt = types.SimpleNamespace(init=init, update=update)
+        apply_updates = lambda p, u: jax.tree_util.tree_map(
+            lambda a, b: a + b, p, u)
 
     params = (tsfc0, ls0)
-    opt = optax.adam(0.2)
     state = opt.init(params)
 
     @jax.jit
     def update(params, state):
         g = jax.grad(lambda p: loss(*p))(params)
         upd, state = opt.update(g, state)
-        return optax.apply_updates(params, upd), state
+        return apply_updates(params, upd), state
 
     for i in range(steps):
         params, state = update(params, state)

@@ -138,9 +138,16 @@ class GasOpticsRRTMGP:
                 raw_lanes=True, split_rayleigh=split_rayleigh)
         kd = self.kdist
         cfg = get_config().use_pallas
+        # engage the AD bridge if ANY lane kernel could run inside the
+        # impl (minor/rayleigh lane kernels dispatch independently of the
+        # major table, e.g. for ragged band widths where kmajor_lane is
+        # None) — otherwise jax.grad would hit an opaque pallas_call
+        any_lane = any(t is not None for t in
+                       (kd.kmajor_lane, kd.kminor_lower_lane,
+                        kd.kminor_upper_lane, kd.krayl_lane))
         pallas_engaged = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
                           and (_on_tpu() if cfg is None else cfg)
-                          and kd.kmajor_lane is not None)
+                          and any_lane)
         if not pallas_engaged:
             return self._compute_taus_impl(play, plev, tlay, gas_concs,
                                            col_dry, top_at_1, scattering)

@@ -43,9 +43,14 @@ _INIT_FAIL_MARKERS = (b"Unable to initialize backend",
 
 
 def _init_failed(path):
+    """True only for failures BEFORE the first successful device op: a
+    marker appearing after "device ok" is a real job error (e.g. a
+    deadline inside the workload) and must not be retried."""
     try:
         with open(path, "rb") as f:
             data = f.read()
+        if b"device ok" in data:
+            return False
         return any(m in data for m in _INIT_FAIL_MARKERS)
     except OSError:
         return False

@@ -349,3 +349,30 @@ def test_gas_optics_level_grads(setup):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-8)
         assert np.any(np.asarray(gx[0]) != 0.0)
+
+
+def test_grads_with_minor_lanes_but_no_major_lane(setup):
+    """Regression: when kmajor_lane is absent (e.g. ragged band widths)
+    but the minor/Rayleigh lane tables exist, the impl still dispatches
+    Pallas minor kernels — the AD bridge must engage on ANY lane table,
+    or jax.grad dies on an opaque pallas_call."""
+    import dataclasses
+
+    gas_lw, _, inp = setup
+    kd = dataclasses.replace(gas_lw.kdist, kmajor_lane=None)
+    gas = GasOpticsRRTMGP(kd)
+    assert kd.kminor_lower_lane is not None
+
+    def loss(tlay):
+        set_use_pallas(True)
+        try:
+            props, src = gas.gas_optics_lw(
+                inp.play, inp.plev, tlay, inp.tsfc, inp.gas_concs,
+                tlev=inp.tlev, top_at_1=True)
+        finally:
+            set_use_pallas(None)
+        return jnp.sum(props.tau) + jnp.sum(src.lay_source)
+
+    g = np.asarray(jax.grad(loss)(inp.tlay))
+    assert g.shape == inp.tlay.shape and np.all(np.isfinite(g))
+    assert np.any(g != 0.0)
