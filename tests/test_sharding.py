@@ -128,3 +128,41 @@ def test_fused_kernels_under_shard_map():
         assert len(a.sharding.device_set) == NDEV or NDEV == 1
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=5e-4)
+
+
+def test_sharded_gradient_matches_single_device():
+    """The training step: jax.grad of a column-summed broadband loss per
+    shard under shard_map (the fused kernels' custom VJPs composing with
+    shard_map + jit) equals the single-device gradient — the loss is a
+    sum over columns, so per-shard gradients of the local loss ARE the
+    global gradient, with no backward collectives."""
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_tpu.config import set_use_pallas
+    from rte_rrtmgp_tpu.parallel.mesh import shard_map_columns
+
+    kd_lw = synthetic_kdist(sw=False, ngpt=16, nbnd=2, ntemp=5, npres=10)
+    g_lw = GasOpticsRRTMGP(kd_lw)
+    cld = synthetic_cloud_optics(
+        nbnd=2, band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    ncol = 16 * NDEV
+    inputs = make_allsky_inputs(ncol, 4, cloud_optics=cld)
+    mesh = column_mesh()
+
+    def grad_step(i):
+        def local_loss(tlay):
+            f = allsky_step_lw(i._replace(tlay=tlay), g_lw,
+                               cloud_optics=cld)
+            return jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
+        return jax.grad(local_loss)(i.tlay)
+
+    set_use_pallas(True)
+    try:
+        single = jax.jit(grad_step)(inputs)
+        sharded = jax.jit(shard_map_columns(grad_step, mesh, ncol))(inputs)
+    finally:
+        set_use_pallas(None)
+    assert len(sharded.sharding.device_set) == NDEV or NDEV == 1
+    a, b = np.asarray(sharded), np.asarray(single)
+    assert np.all(np.isfinite(a)) and np.any(b != 0.0)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
