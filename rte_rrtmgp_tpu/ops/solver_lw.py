@@ -306,6 +306,25 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
             from .pallas.autodiff import with_xla_grad
             from .pallas.solver_lw_kernel import lw_noscat_broadband_lane
 
+            # the default dispatch (single angle, scalar secant, no
+            # rescaling/Jacobian, broadband) has a hand-derived adjoint
+            # kernel: BOTH directions run as Pallas kernels, no XLA
+            # retrace on the backward pass (ops/pallas/solver_lw_bwd.py)
+            if (not do_rescaling and not do_jacobians
+                    and byband_width is None and scalar_ds
+                    and len(weights) == 1
+                    and not isinstance(ds_arr, jax.core.Tracer)):
+                from .pallas.solver_lw_bwd import (
+                    lw_noscat_broadband_lane_vjp)
+                up, dn = lw_noscat_broadband_lane_vjp(
+                    tau, lay_source, lev_source, sfc_emis, sfc_src,
+                    inc_flux, float(ds_arr[0]), float(weights[0]),
+                    not on_tpu)
+                if not top_at_1:
+                    up = jnp.flip(up, axis=1)
+                    dn = jnp.flip(dn, axis=1)
+                return LWFluxes(flux_up=up, flux_dn=dn, flux_up_jac=None)
+
             def _pallas_angles(tau, lay_source, lev_source, sfc_emis,
                                sfc_src, inc_flux, ds_arr, sfc_src_jac,
                                ssa, g):
