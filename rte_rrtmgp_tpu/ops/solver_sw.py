@@ -181,6 +181,23 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
             from .pallas.autodiff import with_xla_grad
             from .pallas.solver_sw_kernel import sw_two_stream_broadband_lane
 
+            # the broadband default has a hand-derived adjoint kernel:
+            # BOTH directions run as Pallas kernels, no XLA retrace on
+            # the backward pass (ops/pallas/solver_sw_bwd.py)
+            if byband_width is None:
+                from .pallas.solver_sw_bwd import (
+                    sw_two_stream_broadband_lane_vjp)
+                incdif = (inc_flux_dif if inc_flux_dif is not None
+                          else jnp.zeros_like(inc_flux_dir))
+                up, dn, fdir = sw_two_stream_broadband_lane_vjp(
+                    tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                    inc_flux_dir, incdif, not on_tpu)
+                if not top_at_1:
+                    up = jnp.flip(up, axis=1)
+                    dn = jnp.flip(dn, axis=1)
+                    fdir = jnp.flip(fdir, axis=1)
+                return SWFluxes(flux_up=up, flux_dn=dn, flux_dir=fdir)
+
             def _pallas_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
                                 inc_flux_dir, inc_flux_dif):
                 return sw_two_stream_broadband_lane(

@@ -340,9 +340,13 @@ def test_solver_level_grads_sw():
         tau, ssa, mu0, alb)
     gx = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(
         tau, ssa, mu0, alb)
+    # the broadband path exercises the hand-derived adjoint KERNEL
+    # (solver_sw_bwd.py): an independent implementation, so f32 rounding
+    # differences up to ~1e-4 rel are expected; exactness is pinned at
+    # f64 by test_sw_adjoint_kernel_exact_f64
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-8)
+                                   rtol=5e-4, atol=1e-7)
     assert all(np.any(np.asarray(b) != 0.0) for b in gx)
 
 
@@ -431,3 +435,56 @@ def test_grads_with_minor_lanes_but_no_major_lane(setup):
     g = np.asarray(jax.grad(loss)(inp.tlay))
     assert g.shape == inp.tlay.shape and np.all(np.isfinite(g))
     assert np.any(g != 0.0)
+
+
+def test_sw_adjoint_kernel_exact_f64():
+    """The hand-derived SW adjoint kernel (ops/pallas/solver_sw_bwd.py)
+    in float64 interpret mode matches XLA autodiff to ~1e-11 across ALL
+    inputs (tau, ssa, g, mu0, albedos, inc, incdif) — including active
+    Rdir/Tdir energy clamps and nighttime columns."""
+    from rte_rrtmgp_tpu.ops.pallas.solver_sw_bwd import (
+        sw_two_stream_broadband_lane_vjp)
+    from rte_rrtmgp_tpu.ops.solver_sw import sw_solver_2stream
+
+    rng = np.random.default_rng(11)
+    ncol, nlay, ngpt = 4, 9, 16
+    f64 = jnp.float64
+    # include thick layers (clamps active) and a nighttime column
+    tau = jnp.asarray(rng.uniform(0.01, 8.0, (ncol, nlay, ngpt)), f64)
+    ssa = jnp.asarray(rng.uniform(0.1, 0.999, (ncol, nlay, ngpt)), f64)
+    gg = jnp.asarray(rng.uniform(0.0, 0.85, (ncol, nlay, ngpt)), f64)
+    mu0 = jnp.asarray(np.concatenate(
+        [rng.uniform(0.2, 1.0, (ncol - 1, nlay)),
+         np.full((1, nlay), -0.5)]), f64)       # last column: night
+    adir = jnp.asarray(rng.uniform(0.05, 0.5, (ncol, ngpt)), f64)
+    adif = jnp.asarray(rng.uniform(0.05, 0.5, (ncol, ngpt)), f64)
+    inc = jnp.asarray(rng.uniform(1.0, 10.0, (ncol, ngpt)), f64)
+    incdif = jnp.asarray(rng.uniform(0.0, 2.0, (ncol, ngpt)), f64)
+    w_lev = jnp.asarray(rng.uniform(0.5, 1.5, (1, nlay + 1)), f64)
+
+    def reduce(up, dn, fdir):
+        return (jnp.sum(w_lev * up) + 0.5 * jnp.sum(w_lev * dn)
+                + 0.25 * jnp.sum(w_lev * fdir))
+
+    def loss_kernel(*a):
+        return reduce(*sw_two_stream_broadband_lane_vjp(*a, True))
+
+    def loss_xla(tau, ssa, gg, mu0, adir, adif, inc, incdif):
+        set_use_pallas(False)
+        try:
+            f = sw_solver_2stream(tau, ssa, gg, mu0, adir, adif, inc,
+                                  top_at_1=True, inc_flux_dif=incdif)
+        finally:
+            set_use_pallas(None)
+        return reduce(f.flux_up, f.flux_dn, f.flux_dir)
+
+    args = (tau, ssa, gg, mu0, adir, adif, inc, incdif)
+    np.testing.assert_allclose(float(loss_kernel(*args)),
+                               float(loss_xla(*args)), rtol=1e-12)
+    gk = jax.grad(loss_kernel, argnums=tuple(range(8)))(*args)
+    gx = jax.grad(loss_xla, argnums=tuple(range(8)))(*args)
+    names = ("tau", "ssa", "g", "mu0", "adir", "adif", "inc", "incdif")
+    for nm, a, b in zip(names, gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12, err_msg=nm)
+    assert any(np.any(np.asarray(b) != 0.0) for b in gx)
