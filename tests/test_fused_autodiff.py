@@ -488,3 +488,41 @@ def test_sw_adjoint_kernel_exact_f64():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-12, err_msg=nm)
     assert any(np.any(np.asarray(b) != 0.0) for b in gx)
+
+
+def test_byband_fused_grad_matches_xla(setup):
+    """Per-band fluxes (byband=True) through the grand-fused path are
+    differentiable and match the XLA-path gradient."""
+    gas_lw, _, inp = setup
+    ds, wt = GAUSS_DS[0][0], GAUSS_WTS[0][0]
+    emis = jnp.broadcast_to(inp.sfc_emis[:, 0][None, :],
+                            (gas_lw.ngpt, NCOL))
+    w_bnd = jnp.linspace(0.5, 2.0, 4)[:, None, None]
+
+    def loss(tlay, use_fused):
+        if use_fused:
+            set_use_pallas(True)
+            try:
+                up, dn = gas_lw.lw_fused_solve(
+                    inp.play, inp.plev, tlay, inp.tsfc, inp.gas_concs,
+                    sfc_emis=emis, tlev=inp.tlev, ds=ds, weight=wt,
+                    byband=True)
+            finally:
+                set_use_pallas(None)
+        else:
+            set_use_pallas(False)
+            try:
+                up, dn = gas_lw._lw_fused_xla_ref(
+                    inp.play, inp.plev, tlay, inp.tsfc, inp.gas_concs,
+                    emis, jnp.zeros((gas_lw.ngpt, NCOL), inp.play.dtype),
+                    inp.tlev, None, None, ds=ds, weight=wt, byband=True)
+            finally:
+                set_use_pallas(None)
+        assert up.shape == (4, NLAY + 1, NCOL)
+        return jnp.sum(w_bnd * up) + 0.5 * jnp.sum(w_bnd * dn)
+
+    gp = jax.grad(lambda t: loss(t, True))(inp.tlay)
+    gx = jax.grad(lambda t: loss(t, False))(inp.tlay)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-6, atol=1e-8)
+    assert np.any(np.asarray(gx) != 0.0)
