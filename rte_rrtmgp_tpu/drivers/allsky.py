@@ -14,7 +14,6 @@ the benchmark and the multi-chip dry run.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax

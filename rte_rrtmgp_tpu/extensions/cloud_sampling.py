@@ -12,7 +12,6 @@ fraction produce False masks directly.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -142,7 +142,6 @@ class CloudOpticsRRTMGP:
         reliq = jnp.asarray(reliq, clwp.dtype)
         dgice = jnp.asarray(dgice, clwp.dtype)
 
-        import jax as _jax
         on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (self.liq_lane is not None and self.ice_lane is not None

@@ -190,7 +190,6 @@ class GasOpticsRRTMGP:
 
         # Pallas lane-gather kernels for the table lookups: auto on TPU
         # when the row domains fit; forced via config.
-        import jax as _jax
         on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)

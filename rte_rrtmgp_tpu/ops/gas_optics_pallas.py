@@ -10,7 +10,6 @@ transposed here.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

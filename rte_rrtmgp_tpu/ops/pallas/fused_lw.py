@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .major_gather import PSPAN
-from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
+from .minor_gather import _BC, _gather_rows
 
 __all__ = ["lw_fused_gas_optics_solve"]
 

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .major_gather import PSPAN
-from .minor_gather import LANE_ROWS_MAX, _BC, _gather_rows
+from .minor_gather import _BC, _gather_rows
 from .solver_lanes import _sw_body_lm
 
 __all__ = ["sw_fused_gas_optics_solve"]

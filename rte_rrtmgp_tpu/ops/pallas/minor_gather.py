@@ -19,11 +19,9 @@ behavior matches ops/gas_optics.tau_minor / tau_rayleigh exactly.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

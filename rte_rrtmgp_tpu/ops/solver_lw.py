@@ -24,7 +24,6 @@ Design notes (TPU-first, not a port):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

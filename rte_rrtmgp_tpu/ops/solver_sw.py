@@ -15,7 +15,7 @@ quantities vectorize over (ncol, nlay, ngpt) with no g-point loop.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

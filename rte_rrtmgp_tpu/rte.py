@@ -17,7 +17,6 @@ Differences from the reference, by TPU-first design:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
