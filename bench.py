@@ -40,7 +40,7 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
-CONFIGS = ("allsky", "clear-sky", "aerosols", "rfmip")
+CONFIGS = ("allsky", "clear-sky", "aerosols", "rfmip", "podscale")
 FLAGSHIP = "allsky"
 
 
@@ -208,9 +208,36 @@ def _child_rfmip():
           file=sys.stderr, flush=True)
 
 
+def _child_podscale():
+    """The pod-scale configuration (BASELINE.md: all-sky scaled to 10M
+    columns across the slice), streamed through this process's devices in
+    chunks by parallel.scaling.podscale_allsky — on the single bench chip
+    a reduced default of 1M columns (~15 s steady state)."""
+    jax, log = _child_setup()
+    from rte_rrtmgp_tpu.parallel.scaling import podscale_allsky
+
+    total = int(os.environ.get("BENCH_PODSCALE_COLS", "1000000"))
+    chunk = int(os.environ.get("BENCH_PODSCALE_CHUNK", "4096"))
+    nlay = int(os.environ.get("BENCH_NLAY", "72"))
+    log(f"podscale: {total:,} columns...")
+    r = podscale_allsky(total_columns=total, nlay=nlay,
+                        chunk_cols_per_device=chunk, verbose=False)
+    _emit({
+        "metric": f"columns/s (pod-scale all-sky streamed in "
+                  f"{r['n_chunks']} chunks of {r['chunk_columns']}, "
+                  f"{r['n_devices']} device(s), 256/224 gpt)",
+        "value": round(r["cols_per_s"], 1),
+        "unit": "columns/s",
+        "vs_baseline": round(r["cols_per_s"] / 1.0e6, 4),
+    })
+    print(f"# podscale: {r}", file=sys.stderr, flush=True)
+
+
 def child_main(config):
     if config == "rfmip":
         _child_rfmip()
+    elif config == "podscale":
+        _child_podscale()
     else:
         _child_allsky_family(config)
 
