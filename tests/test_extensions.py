@@ -1,5 +1,7 @@
 """Extension-layer tests: heating rates, zenith correction, McICA sampling,
 byband fluxes, compute_bc, clr_all_sky, solar variability."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -285,3 +287,29 @@ def test_gradient_retrieval_example():
     t_err, s_err = main(steps=120, verbose=False)
     assert t_err < 0.5, t_err
     assert s_err < 0.02, s_err
+
+
+def test_validation_plots_tool(tmp_path):
+    """The flux-variants file + validation-plots pipeline (reference
+    check_variants.F90 -> validation-plots.py) runs end-to-end and
+    renders a figure."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    nc = tmp_path / "variants.nc"
+    png = tmp_path / "plots.png"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "flux_variants.py"),
+         "--ncol", "4", "--nlay", "10", "--out", str(nc)],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "examples", "validation_plots.py"),
+         str(nc), str(png)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert png.exists() and png.stat().st_size > 10_000
