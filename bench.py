@@ -338,9 +338,14 @@ def supervisor_main():
     results = {}
     for config in configs:
         # the flagship may consume up to the full budget; secondaries only
-        # run while budget remains (flagship-first ordering protects it)
+        # run while budget remains (flagship-first ordering protects it).
+        # If NOTHING has succeeded yet after the first config exhausted its
+        # retries, the pool is likely down entirely — probe each remaining
+        # config once instead of burning the whole budget on retries.
+        tries_here = (1 if (not results and config != configs[0])
+                      else max_tries)
         attempt = 0
-        while attempt < max_tries and remaining() > pre_s + 10:
+        while attempt < tries_here and remaining() > pre_s + 10:
             attempt += 1
             log_path = os.path.join(
                 "/tmp", f"bench_{config}_a{attempt}_{os.getpid()}.log")
