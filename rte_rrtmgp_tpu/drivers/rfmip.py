@@ -19,6 +19,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -237,26 +238,37 @@ def _flip_lay(gas_concs: GasConcs) -> GasConcs:
                     values=tuple(flip(v) for v in gas_concs.values))
 
 
-def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
-             n_gauss_angles: int = 1) -> Tuple[np.ndarray, np.ndarray]:
-    """LW clear-sky fluxes (rlu, rld), each (ncol, nlay+1)
-    (reference rrtmgp_rfmip_lw.F90 block loop :252-288). On TPU the
-    single-angle broadband default dispatches to the grand fused
-    gas-optics + solve kernel (ops/pallas/fused_lw.py)."""
-    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+def _fused_window_ok(gas_optics, play, top_at_1) -> bool:
+    """Eager fused-path eligibility: the fused kernels' pressure-window
+    guard must run on concrete pressures (inside jit they are tracers)."""
+    from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
+    from ..ops.pallas.major_gather import PSPAN
+    kd = gas_optics.kdist
+    return pressure_window_ok_by_layer(
+        play if top_at_1 else play[:, ::-1],
+        press_ref_log=kd.press_ref_log,
+        press_ref_log_delta=kd.press_ref_log_delta,
+        press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
 
-    # the fused kernel's pressure-window guard must run eagerly on the
-    # concrete pressures (inside jit they are tracers)
-    fused_ok = n_gauss_angles == 1 and hasattr(gas_optics, "lw_fused_solve")
-    if fused_ok:
-        from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
-        from ..ops.pallas.major_gather import PSPAN
-        kd = gas_optics.kdist
-        fused_ok = pressure_window_ok_by_layer(
-            data.play if top_at_1 else data.play[:, ::-1],
-            press_ref_log=kd.press_ref_log,
-            press_ref_log_delta=kd.press_ref_log_delta,
-            press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+def _cached_solve(factory, gas_optics, *key):
+    """Fetch a jitted solve from ``factory``'s lru_cache; providers that
+    are unhashable (e.g. pytree-registered dataclasses like the SSM
+    scheme) get a fresh uncached build instead."""
+    try:
+        return factory(gas_optics, *key)
+    except TypeError:
+        return factory.__wrapped__(gas_optics, *key)
+
+
+@functools.lru_cache(maxsize=32)
+def _lw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool,
+                 n_gauss_angles: int):
+    """Build (and cache) the jitted LW solve for one (gas_optics,
+    orientation, path) combination. Caching the jit wrapper is what makes
+    repeated driver calls cheap: a fresh ``@jax.jit`` closure per call
+    would RETRACE the whole graph every time (~10 s at RFMIP 1800x61
+    through the tunnel even with the compiled executable cached)."""
 
     def fused(play, plev, tlay, tlev, tsfc, emis, gas_concs):
         from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
@@ -289,6 +301,22 @@ def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
                    n_gauss_angles=n_gauss_angles)
         return f.flux_up, f.flux_dn
 
+    return solve
+
+
+def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
+             n_gauss_angles: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """LW clear-sky fluxes (rlu, rld), each (ncol, nlay+1)
+    (reference rrtmgp_rfmip_lw.F90 block loop :252-288). On TPU the
+    single-angle broadband default dispatches to the grand fused
+    gas-optics + solve kernel (ops/pallas/fused_lw.py)."""
+    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+    fused_ok = bool(n_gauss_angles == 1
+                    and hasattr(gas_optics, "lw_fused_solve")
+                    and _fused_window_ok(gas_optics, data.play, top_at_1))
+    solve = _cached_solve(_lw_solve_fn, gas_optics, top_at_1, fused_ok,
+                          n_gauss_angles)
+
     def run_block(d, start, n):
         sl = slice(start, start + n)
         up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
@@ -300,25 +328,11 @@ def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
     return _block_map(run_block, data, block_size)
 
 
-def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
-             ) -> Tuple[np.ndarray, np.ndarray]:
-    """SW clear-sky fluxes (rsu, rsd), each (ncol, nlay+1)
-    (reference rrtmgp_rfmip_sw.F90 block loop :258-330): TOA flux is
-    renormalized to the file's TSI; nighttime columns (sza >= 90) are
-    solved with mu0=1 then zeroed, as the reference does."""
-    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+@functools.lru_cache(maxsize=32)
+def _sw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool):
+    """Jitted SW solve, cached per (gas_optics, orientation, path) — see
+    :func:`_lw_solve_fn` for why the jit wrapper itself must be cached."""
     deg_to_rad = np.pi / 180.0
-
-    fused_ok = hasattr(gas_optics, "sw_fused_solve")
-    if fused_ok:
-        from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
-        from ..ops.pallas.major_gather import PSPAN
-        kd = gas_optics.kdist
-        fused_ok = pressure_window_ok_by_layer(
-            data.play if top_at_1 else data.play[:, ::-1],
-            press_ref_log=kd.press_ref_log,
-            press_ref_log_delta=kd.press_ref_log_delta,
-            press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
 
     def fused(play, plev, tlay, alb, tsi, sza, gas_concs):
         if not fused_ok:
@@ -361,6 +375,20 @@ def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
         f = rte_sw(props, mu0, toa, alb[:, None], alb[:, None])
         mask = usecol[:, None].astype(f.flux_up.dtype)
         return f.flux_up * mask, f.flux_dn * mask
+
+    return solve
+
+
+def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """SW clear-sky fluxes (rsu, rsd), each (ncol, nlay+1)
+    (reference rrtmgp_rfmip_sw.F90 block loop :258-330): TOA flux is
+    renormalized to the file's TSI; nighttime columns (sza >= 90) are
+    solved with mu0=1 then zeroed, as the reference does."""
+    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+    fused_ok = bool(hasattr(gas_optics, "sw_fused_solve")
+                    and _fused_window_ok(gas_optics, data.play, top_at_1))
+    solve = _cached_solve(_sw_solve_fn, gas_optics, top_at_1, fused_ok)
 
     def run_block(d, start, n):
         sl = slice(start, start + n)

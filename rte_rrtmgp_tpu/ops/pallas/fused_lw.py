@@ -77,6 +77,13 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
         groups; the lookup is a per-element cross-lane gather + row-group
         select. t (rows, _BC) -> (rows, _BC). Matches the XLA
         planck_bands_lanes numerics exactly (same f32 ops)."""
+        if t.shape[0] == 1:
+            # Mosaic's gather lowering rejects (1, n) operands: jnp
+            # take_along_axis treats the size-1 batch dim as broadcast,
+            # so the indices rank no longer matches the strict 2-D rule
+            # (lowering.py _gather_lowering_rule). Gather on a full
+            # 8-sublane tile and slice the row back out.
+            return planck_band(jnp.broadcast_to(t, (8,) + t.shape[1:]))[:1]
         val0 = (t - tp_min) / tp_delta
         frac = val0 - jnp.trunc(val0)
         idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
