@@ -36,6 +36,33 @@ from .solver_lanes import _sw_body_lm
 __all__ = ["sw_fused_gas_optics_solve"]
 
 
+def _combine_gas_cloud(tau_s, ray_s, ct_ref, cs_ref, cg_ref, *, with_cloud):
+    """combine_abs_and_rayleigh + the by-band delta-scaled cloud 2-stream
+    increment (reference mo_gas_optics_rrtmgp.F90:1954-2036 +
+    increment_2stream_by_2stream). Module-level so kernel variants
+    (scripts/fused_sw_exp.py) can patch it. Returns (t, w0, asym), each
+    (nlay, w, _BC)."""
+    dtype = tau_s.dtype
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    ray = ray_s[:, :, :]
+    t_gas = tau_s[:, :, :] + ray
+    big = t_gas > 2.0 * tiny
+    ssa_gas = jnp.where(big, ray / jnp.where(big, t_gas, 1.0), 0.0)
+    if with_cloud:
+        o_tau = ct_ref[0, :, :][:, None, :]
+        o_ssa = cs_ref[0, :, :][:, None, :]
+        o_g = cg_ref[0, :, :][:, None, :]
+        t = t_gas + o_tau
+        tauscat = t_gas * ssa_gas + o_tau * o_ssa
+        g12 = (o_tau * o_ssa * o_g) / jnp.maximum(tauscat, tiny)
+        ssa12 = tauscat / jnp.maximum(t, tiny)
+        asym = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)
+        w0 = jnp.where(t > 2.0 * tiny, ssa12, ssa_gas)
+    else:
+        t, w0, asym = t_gas, ssa_gas, jnp.zeros_like(t_gas)
+    return t, w0, asym
+
+
 def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
                      tab_ref, mtab_lo_ref, mtab_up_ref, rayl_ref,
                      ct_ref, cs_ref, cg_ref,
@@ -48,7 +75,6 @@ def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
                      ngpt, with_cloud, byband=False):
     b = pl.program_id(1)
     dtype = tau_s.dtype
-    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
     ntw = w         # tau-only payload (no Planck table in SW kmajor)
     # desc rows: [fp, jp, tropo, ft0, ft1, rayscale, te(2*nflav),
     # fe(2*nflav), cm(2*nflav), tr(2*nflav)] where tr is the rayleigh/
@@ -224,22 +250,8 @@ def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
 
     # ---- combine_abs_and_rayleigh + cloud increment (as in the SW
     # mega-kernel) ---- all fields (nlay, w, _BC)
-    ray = ray_s[:, :, :]
-    t_gas = tau_s[:, :, :] + ray
-    big = t_gas > 2.0 * tiny
-    ssa_gas = jnp.where(big, ray / jnp.where(big, t_gas, 1.0), 0.0)
-    if with_cloud:
-        o_tau = ct_ref[0, :, :][:, None, :]
-        o_ssa = cs_ref[0, :, :][:, None, :]
-        o_g = cg_ref[0, :, :][:, None, :]
-        t = t_gas + o_tau
-        tauscat = t_gas * ssa_gas + o_tau * o_ssa
-        g12 = (o_tau * o_ssa * o_g) / jnp.maximum(tauscat, tiny)
-        ssa12 = tauscat / jnp.maximum(t, tiny)
-        asym = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)
-        w0 = jnp.where(t > 2.0 * tiny, ssa12, ssa_gas)
-    else:
-        t, w0, asym = t_gas, ssa_gas, jnp.zeros_like(t_gas)
+    t, w0, asym = _combine_gas_cloud(tau_s, ray_s, ct_ref, cs_ref, cg_ref,
+                                     with_cloud=with_cloud)
 
     _sw_body_lm(t, w0, asym, mu0_ref[:, :], albdir_ref[0, :, :],
                 albdif_ref[0, :, :], inc_ref[0, :, :], incdif_ref[0, :, :],

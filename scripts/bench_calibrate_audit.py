@@ -51,9 +51,12 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def time_k(build_fn, ks=(1, 2, 4, 8), reps=5):
+def time_k(build_fn, ks=(1, 4, 8, 16), reps=7):
     """min-over-reps wall time of build_fn(k) for each chain length k,
-    then the regression slope (s per unit k) and intercept (dispatch)."""
+    then the regression slope (s per unit k) and intercept (dispatch).
+    The readback through the axon tunnel costs ~30 ms with +-5 ms jitter,
+    so per-unit-k device work must be >= ~2 ms for a clean slope —
+    callers size their inner loops accordingly."""
     ts = []
     for k in ks:
         fn = build_fn(k)
@@ -123,16 +126,21 @@ def main():
     interpret = os.environ.get("CAL_INTERPRET", "0") == "1"  # CPU smoke
     ROWS = 256           # 32 VREGs of (8, 128) f32 per op
     GRID = 64
+    # iterations per unit k: sized so one unit of k is ~2-5 ms of device
+    # work (>= the tunnel's readback jitter); 2048 iters x 32 VREG FMAs x
+    # 64 blocks = 4.2M VREG-FMAs per unit k
+    VPU_ITERS = 64 if interpret else 2048
 
     def vpu_kernel(x_ref, o_ref, *, n):
         def body(i, v):
-            # 2 dependent VREG ops per iteration per VREG (mul + add);
-            # independent across the 32 VREGs of the tile
+            # one VREG FMA per iteration per VREG (mul + add contract);
+            # independent across the 32 VREGs of the tile, serially
+            # dependent across iterations — 32 chains hide FMA latency
             return v * 1.000001 + 1e-7
         o_ref[:, :] = jax.lax.fori_loop(0, n, body, x_ref[:, :])
 
     def build_vpu(k):
-        kern = functools.partial(vpu_kernel, n=k * 64)
+        kern = functools.partial(vpu_kernel, n=k * VPU_ITERS)
         f = pl.pallas_call(
             kern,
             grid=(GRID,),
@@ -148,12 +156,13 @@ def main():
         return functools.partial(jf, xb)
 
     slope, icpt, ts = time_k(build_vpu)
-    # per k: 64 iters x 2 ops x 32 VREGs x GRID blocks
-    vregops = 64 * 2 * (ROWS // 8) * GRID
+    # per k: VPU_ITERS iters x 32 VREGs x GRID blocks, 1 FMA each (the
+    # mul+add contracts; count it as ONE issued VREG op)
+    vregops = VPU_ITERS * (ROWS // 8) * GRID
     rate = vregops / slope if slope > 0 else float("nan")
     emit(measure="vpu_vregops", slope_ms=round(slope * 1e3, 3),
          dispatch_intercept_ms=round(icpt * 1e3, 3),
-         vregops_per_s=f"{rate:.3e}",
+         vreg_fmas_per_s=f"{rate:.3e}",
          implied_clock_ghz_at_1_per_cycle=round(rate / 1e9, 3),
          raw_ms=[round(t * 1e3, 3) for t in ts])
 
@@ -170,8 +179,12 @@ def main():
         o_ref[:, :] = jax.lax.fori_loop(0, n, body,
                                         jnp.zeros((TROWS, 128), jnp.float32))
 
+    # 2048 iters x 32 rows x 64 blocks = 4.2M rows per unit k (~9 ms at
+    # the previously-measured ~2 cycles/row)
+    GATHER_ITERS = 64 if interpret else 2048
+
     def build_gather(k):
-        kern = functools.partial(gather_kernel, n=k * 64)
+        kern = functools.partial(gather_kernel, n=k * GATHER_ITERS)
         f = pl.pallas_call(
             kern,
             grid=(GRID,),
@@ -190,7 +203,7 @@ def main():
         return functools.partial(jf, tab, idx)
 
     slope, icpt, ts = time_k(build_gather)
-    rows = 64 * TROWS * GRID          # rows gathered per unit k (+1 add op)
+    rows = GATHER_ITERS * TROWS * GRID  # rows gathered per unit k (+1 add)
     rate = rows / slope if slope > 0 else float("nan")
     emit(measure="gather_rows", slope_ms=round(slope * 1e3, 3),
          dispatch_intercept_ms=round(icpt * 1e3, 3),
