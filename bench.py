@@ -165,8 +165,7 @@ def _child_rfmip():
     RFMIP drivers' fused dispatch."""
     jax, log = _child_setup()
     reps = max(3, int(os.environ.get("BENCH_REPS", "10")) // 2)
-    from rte_rrtmgp_tpu.drivers.rfmip import (rfmip_lw, rfmip_sw,
-                                              synthetic_rfmip)
+    from rte_rrtmgp_tpu.drivers.rfmip import rfmip_lw_sw, synthetic_rfmip
     from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
     from rte_rrtmgp_tpu.utils.synthetic import synthetic_kdist
 
@@ -182,10 +181,10 @@ def _child_rfmip():
     ncol = data.play.shape[0]
 
     def rf_step():
-        # drivers return host np arrays, so each call is fully synced
+        # the driver returns host np arrays, so each call is fully synced
         # (includes the flux readback, as the reference's timed I/O-free
-        # block loop does)
-        return rfmip_lw(data, g_lw) + rfmip_sw(data, g_sw)
+        # block loop does); LW+SW run as ONE launch with ONE readback
+        return rfmip_lw_sw(data, g_lw, g_sw)
 
     log("compiling/warmup...")
     rf_step()

@@ -31,8 +31,8 @@ from ..rte import rte_lw, rte_sw
 from ..utils.netcdf import NCFile
 
 __all__ = ["RFMIPData", "read_rfmip", "determine_gas_names",
-           "synthetic_rfmip", "rfmip_lw", "rfmip_sw", "unblock",
-           "write_fluxes"]
+           "synthetic_rfmip", "rfmip_lw", "rfmip_sw", "rfmip_lw_sw",
+           "unblock", "write_fluxes"]
 
 # chemical-formula <-> RFMIP concentration-variable name map
 # (reference determine_gas_names, mo_rfmip_io.F90:207-228)
@@ -95,6 +95,33 @@ class RFMIPData:
     @property
     def nlay(self):
         return self.play.shape[1]
+
+    def device_inputs(self):
+        """Device-resident copies of the solve inputs, uploaded once and
+        cached on the instance. The reference reads the RFMIP file once
+        and then block-loops over resident arrays
+        (rrtmgp_rfmip_lw.F90:252-288); re-uploading every driver call
+        costs ~1-2 ms per array through the axon tunnel (measured
+        dispatch overhead, docs/PERFORMANCE.md "Calibration audit"),
+        which dominated the round-3 RFMIP step. Host-side fields
+        (eligibility checks, shapes) keep using the numpy arrays."""
+        dev = getattr(self, "_device_cache", None)
+        if dev is None:
+            gc = GasConcs(names=self.gas_concs.names,
+                          values=tuple(jnp.asarray(v)
+                                       for v in self.gas_concs.values))
+            dev = dict(play=jnp.asarray(self.play),
+                       plev=jnp.asarray(self.plev),
+                       tlay=jnp.asarray(self.tlay),
+                       tlev=jnp.asarray(self.tlev),
+                       sfc_t=jnp.asarray(self.sfc_t),
+                       sfc_emis=jnp.asarray(self.sfc_emis),
+                       sfc_alb=jnp.asarray(self.sfc_alb),
+                       tsi=jnp.asarray(self.tsi),
+                       sza=jnp.asarray(self.sza),
+                       gas_concs=gc)
+            object.__setattr__(self, "_device_cache", dev)
+        return dev
 
 
 def _scaling(f: NCFile, var: str) -> float:
@@ -261,14 +288,11 @@ def _cached_solve(factory, gas_optics, *key):
         return factory.__wrapped__(gas_optics, *key)
 
 
-@functools.lru_cache(maxsize=32)
-def _lw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool,
-                 n_gauss_angles: int):
-    """Build (and cache) the jitted LW solve for one (gas_optics,
-    orientation, path) combination. Caching the jit wrapper is what makes
-    repeated driver calls cheap: a fresh ``@jax.jit`` closure per call
-    would RETRACE the whole graph every time (~10 s at RFMIP 1800x61
-    through the tunnel even with the compiled executable cached)."""
+def _lw_compute(gas_optics, top_at_1: bool, fused_ok: bool,
+                n_gauss_angles: int):
+    """Unjitted LW flux computation (play, plev, tlay, tlev, tsfc, emis,
+    gas_concs) -> (up, dn): the grand fused dispatch with the staged/XLA
+    fallback. Shared by the cached LW-only and combined LW+SW solves."""
 
     def fused(play, plev, tlay, tlev, tsfc, emis, gas_concs):
         from ..ops.solver_lw import GAUSS_DS, GAUSS_WTS
@@ -290,7 +314,6 @@ def _lw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool,
             up, dn = up[:, ::-1], dn[:, ::-1]
         return up, dn
 
-    @jax.jit
     def solve(play, plev, tlay, tlev, tsfc, emis, gas_concs):
         f = fused(play, plev, tlay, tlev, tsfc, emis, gas_concs)
         if f is not None:
@@ -302,6 +325,18 @@ def _lw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool,
         return f.flux_up, f.flux_dn
 
     return solve
+
+
+@functools.lru_cache(maxsize=32)
+def _lw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool,
+                 n_gauss_angles: int):
+    """Build (and cache) the jitted LW solve for one (gas_optics,
+    orientation, path) combination. Caching the jit wrapper is what makes
+    repeated driver calls cheap: a fresh ``@jax.jit`` closure per call
+    would RETRACE the whole graph every time (~10 s at RFMIP 1800x61
+    through the tunnel even with the compiled executable cached)."""
+    return jax.jit(_lw_compute(gas_optics, top_at_1, fused_ok,
+                               n_gauss_angles))
 
 
 def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
@@ -318,20 +353,26 @@ def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
                           n_gauss_angles)
 
     def run_block(d, start, n):
-        sl = slice(start, start + n)
-        up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
-                       jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
-                       jnp.asarray(d.sfc_t[sl]), jnp.asarray(d.sfc_emis[sl]),
-                       d.gas_concs.get_subset(start, n))
+        if start == 0 and n == d.ncol:
+            dev = d.device_inputs()
+            up, dn = solve(dev["play"], dev["plev"], dev["tlay"],
+                           dev["tlev"], dev["sfc_t"], dev["sfc_emis"],
+                           dev["gas_concs"])
+        else:
+            sl = slice(start, start + n)
+            up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                           jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
+                           jnp.asarray(d.sfc_t[sl]),
+                           jnp.asarray(d.sfc_emis[sl]),
+                           d.gas_concs.get_subset(start, n))
         return np.asarray(up), np.asarray(dn)
 
     return _block_map(run_block, data, block_size)
 
 
-@functools.lru_cache(maxsize=32)
-def _sw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool):
-    """Jitted SW solve, cached per (gas_optics, orientation, path) — see
-    :func:`_lw_solve_fn` for why the jit wrapper itself must be cached."""
+def _sw_compute(gas_optics, top_at_1: bool, fused_ok: bool):
+    """Unjitted SW flux computation (play, plev, tlay, alb, tsi, sza,
+    gas_concs) -> (up, dn); see :func:`_lw_compute`."""
     deg_to_rad = np.pi / 180.0
 
     def fused(play, plev, tlay, alb, tsi, sza, gas_concs):
@@ -361,7 +402,6 @@ def _sw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool):
         mask = usecol[:, None].astype(up.dtype)
         return up * mask, dn * mask
 
-    @jax.jit
     def solve(play, plev, tlay, alb, tsi, sza, gas_concs):
         f = fused(play, plev, tlay, alb, tsi, sza, gas_concs)
         if f is not None:
@@ -379,6 +419,39 @@ def _sw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool):
     return solve
 
 
+@functools.lru_cache(maxsize=32)
+def _sw_solve_fn(gas_optics, top_at_1: bool, fused_ok: bool):
+    """Jitted SW solve, cached per (gas_optics, orientation, path) — see
+    :func:`_lw_solve_fn` for why the jit wrapper itself must be cached."""
+    return jax.jit(_sw_compute(gas_optics, top_at_1, fused_ok))
+
+
+@functools.lru_cache(maxsize=32)
+def _lwsw_solve_fn(g_lw, g_sw, top_at_1: bool, fused_lw_ok: bool,
+                   fused_sw_ok: bool, n_gauss_angles: int):
+    """ONE jitted launch for the combined LW + SW clear-sky solve,
+    returning a single stacked (4, ncol, nlev) array [rlu, rld, rsu, rsd].
+
+    Through the axon/remote-TPU tunnel every device->host transfer costs a
+    fixed ~25-30 ms round trip regardless of size (measured,
+    docs/PERFORMANCE.md "Calibration audit"), so the driver-level split
+    into two launches with four separate np.asarray readbacks paid ~120 ms
+    of pure latency on a ~14 ms kernel workload — the round-3 RFMIP
+    deficit. Stacking in-jit makes the whole RFMIP step one dispatch and
+    one readback (reference runs LW and SW as separate executables;
+    combining them is free capability, not a semantics change)."""
+    lw = _lw_compute(g_lw, top_at_1, fused_lw_ok, n_gauss_angles)
+    sw = _sw_compute(g_sw, top_at_1, fused_sw_ok)
+
+    @jax.jit
+    def solve(play, plev, tlay, tlev, tsfc, emis, alb, tsi, sza, gas_concs):
+        lu, ld = lw(play, plev, tlay, tlev, tsfc, emis, gas_concs)
+        su, sd = sw(play, plev, tlay, alb, tsi, sza, gas_concs)
+        return jnp.stack([lu, ld, su, sd])
+
+    return solve
+
+
 def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
     """SW clear-sky fluxes (rsu, rsd), each (ncol, nlay+1)
@@ -391,12 +464,63 @@ def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
     solve = _cached_solve(_sw_solve_fn, gas_optics, top_at_1, fused_ok)
 
     def run_block(d, start, n):
-        sl = slice(start, start + n)
-        up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
-                       jnp.asarray(d.tlay[sl]), jnp.asarray(d.sfc_alb[sl]),
-                       jnp.asarray(d.tsi[sl]), jnp.asarray(d.sza[sl]),
-                       d.gas_concs.get_subset(start, n))
+        if start == 0 and n == d.ncol:
+            dev = d.device_inputs()
+            up, dn = solve(dev["play"], dev["plev"], dev["tlay"],
+                           dev["sfc_alb"], dev["tsi"], dev["sza"],
+                           dev["gas_concs"])
+        else:
+            sl = slice(start, start + n)
+            up, dn = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                           jnp.asarray(d.tlay[sl]),
+                           jnp.asarray(d.sfc_alb[sl]),
+                           jnp.asarray(d.tsi[sl]), jnp.asarray(d.sza[sl]),
+                           d.gas_concs.get_subset(start, n))
         return np.asarray(up), np.asarray(dn)
+
+    return _block_map(run_block, data, block_size)
+
+
+def rfmip_lw_sw(data: RFMIPData, gas_optics_lw, gas_optics_sw, *,
+                block_size: Optional[int] = None, n_gauss_angles: int = 1
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Combined LW + SW clear-sky fluxes (rlu, rld, rsu, rsd), each
+    (ncol, nlay+1), computed in ONE jitted launch with ONE device->host
+    readback per block (see :func:`_lwsw_solve_fn`). Semantically equal to
+    ``rfmip_lw(...) + rfmip_sw(...)`` (reference runs rrtmgp_rfmip_lw and
+    rrtmgp_rfmip_sw as two programs over the same file,
+    examples/rfmip-clear-sky/CMakeLists.txt:81-99)."""
+    top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
+    fused_lw = bool(n_gauss_angles == 1
+                    and hasattr(gas_optics_lw, "lw_fused_solve")
+                    and _fused_window_ok(gas_optics_lw, data.play, top_at_1))
+    fused_sw = bool(hasattr(gas_optics_sw, "sw_fused_solve")
+                    and _fused_window_ok(gas_optics_sw, data.play, top_at_1))
+    try:
+        solve = _lwsw_solve_fn(gas_optics_lw, gas_optics_sw, top_at_1,
+                               fused_lw, fused_sw, n_gauss_angles)
+    except TypeError:       # unhashable provider: uncached build
+        solve = _lwsw_solve_fn.__wrapped__(gas_optics_lw, gas_optics_sw,
+                                           top_at_1, fused_lw, fused_sw,
+                                           n_gauss_angles)
+
+    def run_block(d, start, n):
+        if start == 0 and n == d.ncol:
+            dev = d.device_inputs()     # resident, uploaded once
+            out = solve(dev["play"], dev["plev"], dev["tlay"], dev["tlev"],
+                        dev["sfc_t"], dev["sfc_emis"], dev["sfc_alb"],
+                        dev["tsi"], dev["sza"], dev["gas_concs"])
+        else:
+            sl = slice(start, start + n)
+            out = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                        jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
+                        jnp.asarray(d.sfc_t[sl]),
+                        jnp.asarray(d.sfc_emis[sl]),
+                        jnp.asarray(d.sfc_alb[sl]), jnp.asarray(d.tsi[sl]),
+                        jnp.asarray(d.sza[sl]),
+                        d.gas_concs.get_subset(start, n))
+        out = np.asarray(out)           # the single host transfer
+        return out[0], out[1], out[2], out[3]
 
     return _block_map(run_block, data, block_size)
 

@@ -164,6 +164,12 @@ def main():
          dispatch_intercept_ms=round(icpt * 1e3, 3),
          vreg_fmas_per_s=f"{rate:.3e}",
          implied_clock_ghz_at_1_per_cycle=round(rate / 1e9, 3),
+         # if Mosaic does NOT contract v*a+b into one FMA the true issue
+         # rate is 2x this figure (two VREG ops per iteration); both
+         # bounds are reported rather than assuming the contraction
+         # (ADVICE r3). The cycle model keys off the measured RATE per
+         # source-counted mul-or-add, which is insensitive to the split.
+         implied_clock_ghz_at_2_ops_per_iter=round(rate * 2 / 1e9, 3),
          raw_ms=[round(t * 1e3, 3) for t in ts])
 
     # ---- 4. cross-lane gather throughput (rows/s) ----
@@ -209,6 +215,106 @@ def main():
          dispatch_intercept_ms=round(icpt * 1e3, 3),
          rows_per_s=f"{rate:.3e}",
          raw_ms=[round(t * 1e3, 3) for t in ts])
+
+    # ---- 4b. KERNEL-SHAPED gather: exactly the fused kernels' inner
+    # pattern (ops/pallas/fused_sw.py pres_of_it): per iteration, for
+    # it in {0,1}: g0 = gather(slab, te), g1 = gather(slab, te+1), then
+    # the eta lerp (1-fe)*g0 + fe*g1 and an fma accumulate. Index rows
+    # come from VMEM (not recomputed), slab is 2*w rows like the
+    # pre-lerped slab2. Reports rows/s for THIS mix so the cycle model
+    # can use a rate measured under kernel-like conditions (amortizing
+    # the lerp/accumulate ops the kernels also issue per gather pair).
+    W = 16
+    SLABR = 2 * W
+
+    def kgather_kernel(tab_ref, i_ref, f_ref, o_ref, *, n):
+        def body(j, acc):
+            for it in range(2):
+                te = i_ref[it, :] + (j % 8)          # vary rows a little
+                fe = f_ref[it, :][None, :]
+                g0 = _kg(tab_ref, te)
+                g1 = _kg(tab_ref, te + 1)
+                acc = acc + (1.0 - fe) * g0 + fe * g1
+            return acc
+        o_ref[:, :] = jax.lax.fori_loop(
+            0, n, body, jnp.zeros((W, _last), jnp.float32))
+
+    _last = 128
+
+    def _kg(tab_ref, rows):
+        idx = jnp.broadcast_to(rows[None, :], (W, 128))
+        return jnp.take_along_axis(tab_ref[:W, :], idx, axis=1)
+
+    KG_ITERS = 64 if interpret else 1024
+
+    def build_kgather(k):
+        kern = functools.partial(kgather_kernel, n=k * KG_ITERS)
+        f = pl.pallas_call(
+            kern,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((SLABR, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((W, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((GRID * W, 128), jnp.float32),
+            interpret=interpret,
+        )
+        tab = jnp.ones((SLABR, 128), jnp.float32)
+        idx = jnp.tile(jnp.arange(16, dtype=jnp.int32)[None, :], (2, 8))
+        fe = jnp.full((2, 128), 0.3, jnp.float32)
+        jf = jax.jit(f)
+        return functools.partial(jf, tab, idx, fe)
+
+    slope, icpt, ts = time_k(build_kgather)
+    # per unit k: KG_ITERS x 2 its x 2 gathers x W rows x GRID blocks
+    rows = KG_ITERS * 2 * 2 * W * GRID
+    rate = rows / slope if slope > 0 else float("nan")
+    emit(measure="gather_rows_kernel_shaped", slope_ms=round(slope * 1e3, 3),
+         dispatch_intercept_ms=round(icpt * 1e3, 3),
+         rows_per_s=f"{rate:.3e}",
+         note="includes the eta-lerp fma per gather pair, fused-kernel mix",
+         raw_ms=[round(t * 1e3, 3) for t in ts])
+
+    # ---- 5. transcendental throughput (exp, divide) ----
+    def trans_kernel(x_ref, o_ref, *, n, op):
+        def body(i, v):
+            if op == "exp":
+                return jnp.exp(v * -1e-6)            # stays ~1
+            return 1.0 / (v + 0.5)                   # cycles around fixed pt
+        o_ref[:, :] = jax.lax.fori_loop(0, n, body, x_ref[:, :])
+
+    TR_ITERS = 64 if interpret else 512
+    for op in ("exp", "div"):
+        def build_tr(k, op=op):
+            kern = functools.partial(trans_kernel, n=k * TR_ITERS, op=op)
+            f = pl.pallas_call(
+                kern,
+                grid=(GRID,),
+                in_specs=[pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((GRID * ROWS, 128),
+                                               jnp.float32),
+                interpret=interpret,
+            )
+            xb = jnp.ones((GRID * ROWS, 128), jnp.float32)
+            jf = jax.jit(f)
+            return functools.partial(jf, xb)
+
+        slope, icpt, ts = time_k(build_tr)
+        # per unit k: TR_ITERS x 32 VREGs x GRID (one transcendental + one
+        # cheap mul/add each)
+        vops = TR_ITERS * (ROWS // 8) * GRID
+        rate = vops / slope if slope > 0 else float("nan")
+        emit(measure=f"vpu_{op}", slope_ms=round(slope * 1e3, 3),
+             dispatch_intercept_ms=round(icpt * 1e3, 3),
+             vreg_ops_per_s=f"{rate:.3e}",
+             raw_ms=[round(t * 1e3, 3) for t in ts])
 
 
 if __name__ == "__main__":

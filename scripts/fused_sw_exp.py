@@ -284,7 +284,12 @@ def _combine_fewdiv(tau_s, ray_s, ct_ref, cs_ref, cg_ref, *, with_cloud):
         tauscat = jnp.where(big, ray, 0.0) + o_tau * o_ssa
         ts_safe = jnp.maximum(tauscat, tiny)
         t_safe = jnp.maximum(t, tiny)
-        rcp = 1.0 / (ts_safe * t_safe)
+        # the shared reciprocal changes the safe-guard semantics vs the
+        # base kernel's two guarded divisions: ts_safe * t_safe can
+        # UNDERFLOW to 0 on TPU (f32 subnormals flush) even when both
+        # factors are normal-ish (e.g. ts_safe == tiny, t_safe < 1),
+        # sending rcp to inf — so guard the PRODUCT too (ADVICE r3)
+        rcp = 1.0 / jnp.maximum(ts_safe * t_safe, tiny)
         g12 = (o_tau * o_ssa * o_g) * (t_safe * rcp)
         ssa12 = tauscat * (ts_safe * rcp)
         asym = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)

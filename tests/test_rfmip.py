@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from rte_rrtmgp_tpu.drivers.rfmip import (determine_gas_names, rfmip_lw,
-                                          rfmip_sw, synthetic_rfmip, unblock,
+                                          rfmip_lw_sw, rfmip_sw,
+                                          synthetic_rfmip, unblock,
                                           write_fluxes)
 from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
 from rte_rrtmgp_tpu.utils.compare import compare_fields
@@ -69,6 +70,22 @@ def test_rfmip_sw_nighttime_zeroed(data, gas_sw):
     mu0 = np.cos(np.deg2rad(data.sza[~night]))
     np.testing.assert_allclose(dn[~night][:, 0], data.tsi[~night] * mu0,
                                rtol=1e-4)
+
+
+def test_rfmip_lw_sw_combined_equals_split(data, gas_lw, gas_sw):
+    """The single-launch combined driver (one dispatch + one readback;
+    the round-4 RFMIP throughput path) must match the split LW/SW drivers
+    exactly, including its block decomposition."""
+    rlu, rld, rsu, rsd = rfmip_lw_sw(data, gas_lw, gas_sw)
+    lu, ld = rfmip_lw(data, gas_lw)
+    su, sd = rfmip_sw(data, gas_sw)
+    np.testing.assert_allclose(rlu, lu, rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(rld, ld, rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(rsu, su, rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(rsd, sd, rtol=2e-6, atol=1e-5)
+    blk = rfmip_lw_sw(data, gas_lw, gas_sw, block_size=NSITE)
+    for a, b in zip(blk, (rlu, rld, rsu, rsd)):
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-5)
 
 
 def test_write_and_compare_roundtrip(tmp_path, data, gas_lw):
