@@ -180,20 +180,32 @@ def _child_rfmip():
         sw=True, ngpt=224, nbnd=14, ntemp=14, npres=59))
     ncol = data.play.shape[0]
 
-    def rf_step():
-        # the driver returns host np arrays, so each call is fully synced
-        # (includes the flux readback, as the reference's timed I/O-free
-        # block loop does); LW+SW run as ONE launch with ONE readback
-        return rfmip_lw_sw(data, g_lw, g_sw)
+    import numpy as np
 
+    def rf_window(inner):
+        # steady-state window: each step is ONE launch; every step's
+        # fluxes are read back to host INSIDE the timed window, with a
+        # one-deep pipeline so the fixed tunnel round trip overlaps the
+        # next step's device time (a production host loop over input
+        # batches runs exactly this way; the reference's timed block
+        # loop also defers file I/O out of the loop)
+        t0 = time.perf_counter()
+        prev = None
+        for _ in range(inner):
+            cur = rfmip_lw_sw(data, g_lw, g_sw, device_out=True)
+            if prev is not None:
+                np.asarray(prev)
+            prev = cur
+        np.asarray(prev)
+        return (time.perf_counter() - t0) / inner
+
+    inner = int(os.environ.get("BENCH_INNER", "10"))
     log("compiling/warmup...")
-    rf_step()
+    rf_window(1)
     log("warm; timing...")
     tv = []
     for r in range(reps):
-        t0 = time.perf_counter()
-        rf_step()
-        tv.append(time.perf_counter() - t0)
+        tv.append(rf_window(inner))
         log(f"rep {r + 1}/{reps}: {tv[-1] * 1e3:.2f} ms")
     t_min = min(tv)
     _emit({
@@ -219,10 +231,14 @@ def _child_podscale():
     chunk = int(os.environ.get("BENCH_PODSCALE_CHUNK", "4096"))
     nlay = int(os.environ.get("BENCH_NLAY", "72"))
     log(f"podscale: {total:,} columns...")
+    stream = os.environ.get("BENCH_PODSCALE_STREAM", "1") == "1"
     r = podscale_allsky(total_columns=total, nlay=nlay,
-                        chunk_cols_per_device=chunk, verbose=False)
+                        chunk_cols_per_device=chunk, stream=stream,
+                        verbose=False)
+    mode = ("host-streamed double-buffered" if r.get("streamed_inputs")
+            else "device-resident inputs")
     _emit({
-        "metric": f"columns/s (pod-scale all-sky streamed in "
+        "metric": f"columns/s (pod-scale all-sky, {mode}, "
                   f"{r['n_chunks']} chunks of {r['chunk_columns']}, "
                   f"{r['n_devices']} device(s), 256/224 gpt)",
         "value": round(r["cols_per_s"], 1),

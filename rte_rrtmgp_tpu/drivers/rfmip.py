@@ -482,14 +482,19 @@ def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
 
 
 def rfmip_lw_sw(data: RFMIPData, gas_optics_lw, gas_optics_sw, *,
-                block_size: Optional[int] = None, n_gauss_angles: int = 1
+                block_size: Optional[int] = None, n_gauss_angles: int = 1,
+                device_out: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Combined LW + SW clear-sky fluxes (rlu, rld, rsu, rsd), each
     (ncol, nlay+1), computed in ONE jitted launch with ONE device->host
-    readback per block (see :func:`_lwsw_solve_fn`). Semantically equal to
-    ``rfmip_lw(...) + rfmip_sw(...)`` (reference runs rrtmgp_rfmip_lw and
-    rrtmgp_rfmip_sw as two programs over the same file,
-    examples/rfmip-clear-sky/CMakeLists.txt:81-99)."""
+    readback per block (see :func:`_lwsw_solve_fn`); the block loop
+    pipelines each block's readback under the next block's solve.
+    Semantically equal to ``rfmip_lw(...) + rfmip_sw(...)`` (reference
+    runs rrtmgp_rfmip_lw and rrtmgp_rfmip_sw as two programs over the
+    same file, examples/rfmip-clear-sky/CMakeLists.txt:81-99).
+    ``device_out=True`` returns the stacked (4, ncol, nlev) DEVICE array
+    without syncing — callers that stream many problems overlap the host
+    transfer with the next launch."""
     top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
     fused_lw = bool(n_gauss_angles == 1
                     and hasattr(gas_optics_lw, "lw_fused_solve")
@@ -504,25 +509,47 @@ def rfmip_lw_sw(data: RFMIPData, gas_optics_lw, gas_optics_sw, *,
                                            top_at_1, fused_lw, fused_sw,
                                            n_gauss_angles)
 
-    def run_block(d, start, n):
+    def launch(d, start, n):
+        """Asynchronously dispatch one block's solve; returns the stacked
+        (4, n, nlev) device array (no host sync)."""
         if start == 0 and n == d.ncol:
             dev = d.device_inputs()     # resident, uploaded once
-            out = solve(dev["play"], dev["plev"], dev["tlay"], dev["tlev"],
-                        dev["sfc_t"], dev["sfc_emis"], dev["sfc_alb"],
-                        dev["tsi"], dev["sza"], dev["gas_concs"])
-        else:
-            sl = slice(start, start + n)
-            out = solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
-                        jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
-                        jnp.asarray(d.sfc_t[sl]),
-                        jnp.asarray(d.sfc_emis[sl]),
-                        jnp.asarray(d.sfc_alb[sl]), jnp.asarray(d.tsi[sl]),
-                        jnp.asarray(d.sza[sl]),
-                        d.gas_concs.get_subset(start, n))
-        out = np.asarray(out)           # the single host transfer
-        return out[0], out[1], out[2], out[3]
+            return solve(dev["play"], dev["plev"], dev["tlay"], dev["tlev"],
+                         dev["sfc_t"], dev["sfc_emis"], dev["sfc_alb"],
+                         dev["tsi"], dev["sza"], dev["gas_concs"])
+        sl = slice(start, start + n)
+        return solve(jnp.asarray(d.play[sl]), jnp.asarray(d.plev[sl]),
+                     jnp.asarray(d.tlay[sl]), jnp.asarray(d.tlev[sl]),
+                     jnp.asarray(d.sfc_t[sl]), jnp.asarray(d.sfc_emis[sl]),
+                     jnp.asarray(d.sfc_alb[sl]), jnp.asarray(d.tsi[sl]),
+                     jnp.asarray(d.sza[sl]), d.gas_concs.get_subset(start, n))
 
-    return _block_map(run_block, data, block_size)
+    if device_out:
+        if block_size is not None:
+            raise ValueError("rfmip_lw_sw: device_out requires a single "
+                             "launch (block_size=None)")
+        return launch(data, 0, data.ncol)
+
+    # block loop with a one-deep pipeline: block b+1's solve is dispatched
+    # (async) before block b's host readback, so the fixed device->host
+    # round trip overlaps the next block's device time (the reference's
+    # host-managed block loop, rrtmgp_rfmip_lw.F90:252-288, TPU-style)
+    ncol = data.ncol
+    bs = ncol if block_size is None or block_size >= ncol else block_size
+    if ncol % bs:
+        raise ValueError("rfmip: number of columns doesn't fit evenly into blocks")
+    outs, prev = [], None
+    for b in range(ncol // bs):
+        cur = launch(data, b * bs, bs)
+        if prev is not None:
+            outs.append(np.asarray(prev))
+        prev = cur
+    outs.append(np.asarray(prev))
+    if len(outs) == 1:
+        out = outs[0]
+    else:
+        out = np.concatenate(outs, axis=1)
+    return out[0], out[1], out[2], out[3]
 
 
 def unblock(data: RFMIPData, flux: np.ndarray) -> np.ndarray:

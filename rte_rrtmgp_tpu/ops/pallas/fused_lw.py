@@ -198,15 +198,20 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
 
     # minor gases: each band's (statically clipped) g-point windows — one
     # predicated layer loop per band, so the hot major loop above stays
-    # branch-free
+    # branch-free. Members are grouped by atmosphere: a layer entirely on
+    # the other side of the tropopause (tcode in SMEM: 1 = all lower,
+    # 2 = all upper, 0 = mixed) skips the group's gathers — its scaling
+    # row is identically zero there (reference layer-range masking,
+    # kernels :402-501), so the skip is exact and saves ~half the minor
+    # gather rows on typical profiles.
     for bi, members in enumerate(band_minors):
         if not members:
             continue
 
         @pl.when(b == bi)
         def _(members=members):
-            def minor_layer(l, _):
-                for (lower, f, mg, start, lg0, wm) in members:
+            def minor_group(group, l):
+                for (lower, f, mg, start, lg0, wm) in group:
                     ncont = (ncont_lo if lower
                              else mtab_up_ref.shape[0] // 2)
                     tref = mtab_lo_ref if lower else mtab_up_ref
@@ -224,6 +229,20 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
                             tref[ncont + start:ncont + start + wm, :], rr)
                         kk = kk + fm0 * lo + fm1 * hi
                     tau_s[l, lg0:lg0 + wm, :] += scal * kk
+
+            lo_mem = tuple(m for m in members if m[0])
+            up_mem = tuple(m for m in members if not m[0])
+
+            def minor_layer(l, _):
+                tc = jpin_ref[0, 2, l]
+                if lo_mem:
+                    @pl.when(tc != 2)          # some lanes below tropopause
+                    def _():
+                        minor_group(lo_mem, l)
+                if up_mem:
+                    @pl.when(tc != 1)          # some lanes above
+                    def _():
+                        minor_group(up_mem, l)
                 return 0
 
             jax.lax.fori_loop(0, nlay, minor_layer, 0)
@@ -345,7 +364,14 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
     jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
     jpmax = jnp.max(jp_blk, axis=-1).T
-    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32)], 1)
+    # tropopause code per (block, layer): 1 = all lower atm, 2 = all
+    # upper, 0 = mixed — lets the kernel skip whole minor-gas groups
+    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
+    tr_min = jnp.min(tr_blk, axis=-1).T
+    tr_max = jnp.max(tr_blk, axis=-1).T
+    tcode = jnp.where(tr_min == tr_max,
+                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
+    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32), tcode], 1)
     fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
     fp0 = fp_blk[:, :, 0].T
     fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
@@ -380,7 +406,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         kern,
         grid=(ncol_p // _BC, nbnd),
         in_specs=[
-            smem, smem, smem_cl(2), smem_cl(2),
+            smem, smem, smem_cl(3), smem_cl(2),
             cb_rows(desc), cb_rows(msc),
             # whole major table VMEM-resident (fetched ONCE per launch):
             # a per-band block with the band grid dimension innermost

@@ -101,11 +101,21 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
                     ngpt_lw: int = 256, nbnd_lw: int = 16,
                     ngpt_sw: int = 224, nbnd_sw: int = 14,
                     ntemp: int = 14, npres: int = 59,
-                    reps_per_chunk: int = 1, verbose: bool = True) -> dict:
+                    reps_per_chunk: int = 1, stream: bool = True,
+                    host_pool: int = 2, verbose: bool = True) -> dict:
     """The 10M-column all-sky configuration (BASELINE.md): shard columns
     over every device in the process group and stream through the total in
     chunks sized to HBM. Returns aggregate columns/s and per-chunk stats.
-    """
+
+    ``stream=True`` (default) is the honest pod-scale regime: every
+    chunk's input fields are HOST numpy arrays uploaded to the device(s)
+    during the run, double-buffered — chunk k+1's host->device transfer
+    is enqueued before chunk k's solve is awaited, so the upload rides
+    under the compute (async dispatch; the transfer engine runs
+    concurrently with the kernels). ``stream=False`` reuses one
+    device-resident chunk, measuring the pure compute rate with no input
+    traffic (the round-3 behavior — kept for apples-to-apples
+    comparisons and documented as such)."""
     from ..drivers.allsky import (allsky_step_lw, allsky_step_sw,
                                   make_allsky_inputs)
     from ..models.rrtmgp.gas_optics import GasOpticsRRTMGP
@@ -127,9 +137,6 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
                                     band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
     cld_sw = synthetic_cloud_optics(nbnd=nbnd_sw,
                                     band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
-    inputs = make_allsky_inputs(chunk, nlay, cloud_optics=cld_lw)
-    inputs = _shard_cols(inputs, mesh, chunk)
-
     def step_fn(i):
         lw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
         sw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
@@ -138,14 +145,34 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
     # shard_map so the Pallas fused kernels run per device shard
     step = jax.jit(shard_map_columns(step_fn, mesh, chunk))
 
-    out = step(inputs)
+    if stream:
+        # a small pool of DISTINCT host-side (numpy) chunks cycled through
+        # the run: every chunk pays a real host->device upload of every
+        # per-column field, as a production ingest loop would
+        pool = []
+        for _p in range(max(2, host_pool)):
+            inp = make_allsky_inputs(chunk, nlay, cloud_optics=cld_lw)
+            pool.append(jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, inp))
+        put = lambda k: _shard_cols(pool[k % len(pool)], mesh, chunk)
+    else:
+        resident = _shard_cols(make_allsky_inputs(
+            chunk, nlay, cloud_optics=cld_lw), mesh, chunk)
+        put = lambda k: resident
+
+    cur = put(0)
+    out = step(cur)
     _force(out)                                     # compile once
     t0 = time.perf_counter()
     for k in range(n_chunks):
-        out = step(inputs)
+        # double buffer: enqueue chunk k+1's upload (async) BEFORE
+        # dispatching chunk k's solve, so the DMA overlaps the kernels
+        nxt = put(k + 1) if (stream and k + 1 < n_chunks) else cur
+        out = step(cur)
         if reps_per_chunk > 1:
             for _ in range(reps_per_chunk - 1):
-                out = step(inputs)
+                out = step(cur)
+        cur = nxt
         if verbose and k % max(1, n_chunks // 10) == 0:
             _force(out)
             done = (k + 1) * chunk
@@ -160,6 +187,7 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
         "chunk_columns": chunk,
         "n_chunks": n_chunks,
         "total_columns": total,
+        "streamed_inputs": bool(stream),
         "seconds": dt,
         "cols_per_s": total / dt,
         "cols_per_s_per_device": total / dt / n_dev,

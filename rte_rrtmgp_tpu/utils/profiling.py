@@ -104,94 +104,95 @@ def vpu_cycle_budget(ncol: int, nlay: int, t_min_s: float, *,
                      nbnd_lw: int = 16, w_lw: int = 16,
                      nbnd_sw: int = 14, w_sw: int = 16,
                      n_minor_members: int = 28,
-                     clock_ghz: Optional[float] = None,
-                     gather_cyc_per_row: float = 2.0,
-                     ew_cyc_per_vreg: float = 1.0,
-                     trans_cyc_per_vreg: float = 8.0) -> dict:
-    """VPU cycle-budget model for the fused all-sky LW+SW step — the
+                     gather_rows_per_s: Optional[float] = None,
+                     vreg_ops_per_s: Optional[float] = None,
+                     exp_vregs_per_s: Optional[float] = None,
+                     div_vregs_per_s: Optional[float] = None) -> dict:
+    """Audited VPU floor model for the fused all-sky LW+SW step — the
     MFU-equivalent for this VPU-bound workload.
 
     The fused kernels (ops/pallas/fused_lw.py, fused_sw.py) are
     gather/VPU-bound, not HBM-bound (the spectral fields never leave
     VMEM), so a bandwidth roofline measures a counterfactual. This model
-    instead counts the arithmetic the kernels MUST issue per
-    (128-column block, band, layer) grid cell and converts it to cycles:
+    counts the work the kernels MUST issue per (128-column block, band,
+    layer) grid cell and divides by MEASURED primitive throughputs
+    (scripts/bench_calibrate_audit.py on the real chip, recorded in
+    docs/PERFORMANCE.md "Calibration audit"; overridable via env
+    BENCH_RATE_GATHER / BENCH_RATE_VREG / BENCH_RATE_EXP /
+    BENCH_RATE_DIV):
 
-      * cross-lane gathers at ``gather_cyc_per_row`` cycles per gathered
-        (1, 128) row (measured ~2 on this part — docs/PERFORMANCE.md
-        "the cross-lane gathers cost ~2 cycles per ROW"),
-      * elementwise vector ops at ``ew_cyc_per_vreg`` cycles per
-        (8, 128)-f32 VREG (single-issue — conservative),
-      * transcendentals (exp/div/sqrt) at ``trans_cyc_per_vreg``.
+      * cross-lane gathers in rows/s — a "row" is one (1, 128) lane
+        shuffle, the kernels' dominant primitive; the default is the
+        KERNEL-SHAPED gather microbenchmark rate (te/te+1 pair + eta
+        lerp, the exact pres_of_it pattern), the right amortized figure
+        because it folds in the per-gather lerp fmas the kernels also
+        issue,
+      * elementwise vector ops in (8, 128)-f32 VREG-ops/s,
+      * exp and divide in VREG-ops/s (sqrt counted at the div rate).
 
-    Op counts below were tallied from the kernel sources (fp-uniform
-    fast path — the production/bench regime with shared pressure grids):
+    Op counts re-tallied from the kernel sources this round (round-4
+    audit; fp-uniform fast path + single-atmosphere Rayleigh tcode path
+    — the production/bench regime with shared pressure grids):
 
-    LW per (block, band, layer), w = 16 g-points, ntw = 2w payload rows
-    (tau + Planck fraction):
-      gathers  : pre-lerped slab2 -> 2 itemp x 2 (g0, g1) x ntw rows
-                 = 4*ntw = 128 rows; plus in-kernel totplnk Planck lookup
-                 ~2 row-groups x (lo, hi) x 3 calls ~= 12 rows/layer
-      VREG ops : slab2 pre-lerp 12 + per-itemp lerp/combine ~44 + writes
-                 4 ~= 60; transport+Planck-combine ~= 60
-      transc.  : exp(transport) + div(fact) + sqrt(lev pfrac) on
-                 2-VREG tiles = 3 x 2
-    SW per (block, band, layer), ntw = w (tau-only payload):
-      gathers  : major 4*w = 64 rows + Rayleigh single-atmosphere path
-                 2 itemp x (lo, hi) x w = 64 rows
-      VREG ops : major ~46 + rayleigh ~16 + combine/cloud ~24 +
-                 two-stream/adding ~90 ~= 176
-      transc.  : 2 exp + 2 div + 1 sqrt (Meador-Weaver + beam) x 2 VREGs
-    Minor gases (both domains): ``n_minor_members`` interval instances
-    (28 for the production-shaped synthetic k-distributions; the real
-    g256/g224 files carry comparable counts), each costing per layer
-    4*w gathered rows + ~26 VREG ops in its band's grid step.
+    LW per (block, band, layer), w=16 g-points, ntw=2w payload rows
+    (tau + Planck fraction gathered together, fused_lw.py:145-197):
+      gathers : 2 itemp x (te, te+1) x ntw rows = 4*ntw = 128, plus the
+                in-kernel totplnk lookup amortized ~6 rows/layer
+      VREG ops: slab2 pre-lerp 12 + eta-lerp 24 + col_mix combine 16 +
+                Planck-source/transport elementwise ~38 + fact chain 14
+                + transport recurrences 4 + broadband 4 ~= 112
+      transc. : exp 2 + div 2 + sqrt 2 VREGs
+    SW per (block, band, layer), ntw = w (tau-only payload,
+    fused_sw.py:87-219 + solver_lanes._sw_body_lm):
+      gathers : major 4*w = 64 + Rayleigh single-atmosphere 4*w = 64
+      VREG ops: slab2 6 + eta-lerp 12 + combine 10 + rayleigh 18 +
+                combine_abs_and_rayleigh/cloud ~35 + Meador-Weaver/PIFM
+                ~130 + adding recurrences 34 + broadband 6 ~= 251
+      transc. : exp 4 + div 10 + sqrt 2 VREGs
+    Minor gases: ``n_minor_members`` interval instances per domain
+    (28 at the production synthetic shapes, LW and SW each), each per
+    (block, layer): 4*w gathered rows + ~14 VREG ops.
 
-    ``clock_ghz`` defaults to env BENCH_VPU_GHZ or 0.94 (v5e class);
-    override with the measured value from scripts/bench_calibrate.py.
-    Returns a dict of model fields including ``vpu_utilization`` =
-    model-time / measured-time (measured time includes descriptor prep,
-    transposes, and dispatch, so this is a lower bound on true kernel
-    utilization)."""
+    Validation: the same counts, divided by the same measured rates,
+    must agree with the standalone fused-kernel nlay-slopes
+    (scripts/bench_kernel_slopes.py) within ~20%; the agreement table
+    lives in docs/PERFORMANCE.md. Returns ``vpu_utilization`` =
+    floor-time / measured-time, a true (0, 1] utilization when the
+    calibration is honest (measured time additionally includes
+    descriptor prep, transposes, dispatch, and everything the floor
+    deliberately excludes)."""
     import os
-    if clock_ghz is None:
-        clock_ghz = float(os.environ.get("BENCH_VPU_GHZ", "0.94"))
+    g_rate = gather_rows_per_s or float(
+        os.environ.get("BENCH_RATE_GATHER", "6.5e8"))
+    v_rate = vreg_ops_per_s or float(
+        os.environ.get("BENCH_RATE_VREG", "1.387e9"))
+    e_rate = exp_vregs_per_s or float(
+        os.environ.get("BENCH_RATE_EXP", "1.7e8"))
+    d_rate = div_vregs_per_s or float(
+        os.environ.get("BENCH_RATE_DIV", "1.7e8"))
     blocks = -(-ncol // 128)
-    vreg = lambda rows: rows / 8.0          # (rows, 128) f32 -> VREGs
+    cells = blocks * nlay
 
-    # --- LW per (block, band, layer) ---
-    ntw_lw = 2 * w_lw
-    lw_gather_rows = 4 * ntw_lw + 12
-    # 60 major + 60 transport ops, each on a (w, 128) = w/8-VREG tile
-    lw_ew_vregs = (60 + 60) * vreg(w_lw)
-    lw_trans_vregs = 3 * vreg(w_lw)
-    lw_layer_cyc = (lw_gather_rows * gather_cyc_per_row
-                    + lw_ew_vregs * ew_cyc_per_vreg
-                    + lw_trans_vregs * trans_cyc_per_vreg)
+    def t(rows, vregs, exps, divs):
+        return (rows / g_rate + vregs / v_rate + exps / e_rate
+                + divs / d_rate)
 
-    # --- SW per (block, band, layer) ---
-    sw_gather_rows = 4 * w_sw + 4 * w_sw
-    sw_ew_vregs = 176 * vreg(w_sw)
-    sw_trans_vregs = 5 * vreg(w_sw)
-    sw_layer_cyc = (sw_gather_rows * gather_cyc_per_row
-                    + sw_ew_vregs * ew_cyc_per_vreg
-                    + sw_trans_vregs * trans_cyc_per_vreg)
+    # --- per (block, band, layer) floors ---
+    lw_layer = t(4 * (2 * w_lw) + 6, 112, 2, 4)
+    sw_layer = t(8 * w_sw, 251, 4, 12)
+    minor_layer = t(4 * 16, 14, 0, 0)
 
-    # --- minors, amortized over the whole domain (both LW and SW) ---
-    minor_layer_cyc = (4 * 16 * gather_cyc_per_row
-                       + 26 * vreg(16) * ew_cyc_per_vreg)
-    minors_cyc = 2 * n_minor_members * blocks * nlay * minor_layer_cyc
-
-    total_cyc = (blocks * nlay
-                 * (nbnd_lw * lw_layer_cyc + nbnd_sw * sw_layer_cyc)
-                 + minors_cyc)
-    model_t = total_cyc / (clock_ghz * 1e9)
+    lw_t = (cells * nbnd_lw * lw_layer
+            + n_minor_members * cells * minor_layer)
+    sw_t = (cells * nbnd_sw * sw_layer
+            + n_minor_members * cells * minor_layer)
+    model_t = lw_t + sw_t
     return {
-        "vpu_model_cycles": int(total_cyc),
-        "vpu_model_lw_cycles_per_layer_block": round(lw_layer_cyc, 1),
-        "vpu_model_sw_cycles_per_layer_block": round(sw_layer_cyc, 1),
-        "vpu_clock_ghz": clock_ghz,
         "vpu_model_time_ms": round(model_t * 1e3, 2),
+        "vpu_model_lw_ms": round(lw_t * 1e3, 2),
+        "vpu_model_sw_ms": round(sw_t * 1e3, 2),
+        "vpu_rate_gather_rows_per_s": g_rate,
+        "vpu_rate_vreg_ops_per_s": v_rate,
         "vpu_utilization": round(model_t / t_min_s, 4),
     }
 

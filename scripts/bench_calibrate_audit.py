@@ -279,6 +279,59 @@ def main():
          note="includes the eta-lerp fma per gather pair, fused-kernel mix",
          raw_ms=[round(t * 1e3, 3) for t in ts])
 
+    # ---- 4c. ILP-rich gather: like 4b but FOUR independent
+    # chains per iteration (the fused kernels' layer loop has no serial
+    # dependence between layers, so the hardware sees far more
+    # independent gathers than a single-accumulator microbench exposes;
+    # this measures the ISSUE-throughput bound the kernels actually
+    # face). 4 chains x (2 gathers + lerp) per iteration.
+    def kgather4_kernel(tab_ref, i_ref, f_ref, o_ref, *, n):
+        def body(j, accs):
+            out = []
+            for c, acc in enumerate(accs):
+                te = i_ref[c % 2, :] + ((j + c) % 8)
+                fe = f_ref[c % 2, :][None, :]
+                g0 = _kg(tab_ref, te)
+                g1 = _kg(tab_ref, te + 1)
+                out.append(acc + (1.0 - fe) * g0 + fe * g1)
+            return tuple(out)
+        z = jnp.zeros((W, _last), jnp.float32)
+        accs = jax.lax.fori_loop(0, n, body, (z, z, z, z))
+        o_ref[:, :] = accs[0] + accs[1] + accs[2] + accs[3]
+
+    KG4_ITERS = 32 if interpret else 512
+
+    def build_kgather4(k):
+        kern = functools.partial(kgather4_kernel, n=k * KG4_ITERS)
+        f = pl.pallas_call(
+            kern,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((SLABR, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((W, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((GRID * W, 128), jnp.float32),
+            interpret=interpret,
+        )
+        tab = jnp.ones((SLABR, 128), jnp.float32)
+        idx = jnp.tile(jnp.arange(16, dtype=jnp.int32)[None, :], (2, 8))
+        fe = jnp.full((2, 128), 0.3, jnp.float32)
+        jf = jax.jit(f)
+        return functools.partial(jf, tab, idx, fe)
+
+    slope, icpt, ts = time_k(build_kgather4)
+    rows = KG4_ITERS * 4 * 2 * W * GRID
+    rate = rows / slope if slope > 0 else float("nan")
+    emit(measure="gather_rows_ilp4", slope_ms=round(slope * 1e3, 3),
+         dispatch_intercept_ms=round(icpt * 1e3, 3),
+         rows_per_s=f"{rate:.3e}",
+         note="4 independent gather+lerp chains per iteration",
+         raw_ms=[round(t * 1e3, 3) for t in ts])
+
     # ---- 5. transcendental throughput (exp, divide) ----
     def trans_kernel(x_ref, o_ref, *, n, op):
         def body(i, v):

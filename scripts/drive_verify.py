@@ -125,6 +125,23 @@ check("RFMIP SW night zeroed, day TSI-normalized",
           rtol=1e-4))
 check("RFMIP unblock shape", unblock(rf, rlu).shape == (4, 16, 41))
 
+# the reference CI runs block_size=8 (examples/rfmip-clear-sky/
+# CMakeLists.txt:81-99); the blocked executor path (pipelined readback)
+# must equal the single launch ON THIS BACKEND, and the combined
+# one-launch LW+SW driver must equal the split drivers
+from rte_rrtmgp_tpu.drivers.rfmip import rfmip_lw_sw
+
+go_lw_s, go_sw_s = GasOpticsRRTMGP(kd_lw_s), GasOpticsRRTMGP(kd_sw_s)
+c_all = rfmip_lw_sw(rf, go_lw_s, go_sw_s)
+c_blk = rfmip_lw_sw(rf, go_lw_s, go_sw_s, block_size=8)
+err_blk = max(float(np.abs(a - b).max()) for a, b in zip(c_blk, c_all))
+check("RFMIP block_size=8 == single launch", err_blk <= 1e-5,
+      f"max abs err {err_blk:.2e} W/m2")
+err_cmb = max(float(np.abs(a - b).max())
+              for a, b in zip(c_all, (rlu, rld, rsu, rsd)))
+check("RFMIP combined LW+SW == split drivers", err_cmb <= 1e-5,
+      f"max abs err {err_cmb:.2e} W/m2")
+
 # ---- 3c. native C++ kernel tier (extern C ABI) -------------------------------
 print("[3c] native C++ kernel tier")
 try:

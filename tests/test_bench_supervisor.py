@@ -120,12 +120,16 @@ def test_vpu_cycle_budget_fields():
     (docs/PERFORMANCE.md 'cycle budget'; an MFU-style utilization)."""
     from rte_rrtmgp_tpu.utils.profiling import vpu_cycle_budget
     out = vpu_cycle_budget(4096, 72, 49.3e-3)
-    assert 0.0 < out["vpu_utilization"] < 1.5, out
-    assert out["vpu_model_cycles"] > 0
-    # the measured ~590 cycles/(layer, block) for LW (docs/PERFORMANCE.md)
-    # should be the right order of magnitude in the model
-    assert 200 < out["vpu_model_lw_cycles_per_layer_block"] < 1200
-    assert 100 < out["vpu_model_sw_cycles_per_layer_block"] < 1200
+    # an audited floor over measured primitive rates must be a true
+    # utilization: strictly positive and <= 1 against the round-3
+    # measured step (37.4 ms) and anything slower
+    assert 0.0 < out["vpu_utilization"] <= 1.0, out
+    assert out["vpu_model_time_ms"] > 0
+    # floor components: LW and SW contributions both present and of the
+    # same order as the standalone kernel measurements (docs/PERFORMANCE)
+    assert 5.0 < out["vpu_model_lw_ms"] < 40.0
+    assert 5.0 < out["vpu_model_sw_ms"] < 40.0
+    assert out["vpu_rate_gather_rows_per_s"] > 1e8
 
 
 @pytest.mark.parametrize("config", ["allsky", "rfmip"])
