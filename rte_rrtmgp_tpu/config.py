@@ -70,6 +70,16 @@ class RTEConfig:
     # a backend with host-callback support (CPU/TPU; not the axon
     # tunnel plugin, which lacks send/recv callbacks).
     check_values_traced: bool = False
+    # Hand-derived adjoint (backward) Pallas kernel for the grand fused
+    # LW path (ops/pallas/fused_lw_bwd.py): gradients through the fused
+    # tier without re-tracing the XLA gas optics. Requires per-(block,
+    # layer) UNIFORM pressure-window bases — guaranteed by shared
+    # pressure grids across columns (the all-sky benchmark and blocked
+    # RFMIP regime). None = auto: used when the pressures are concrete
+    # and every column shares one pressure profile; True = assert the
+    # property and use it even under jit (caller's responsibility);
+    # False = always use the XLA-retrace backward.
+    fused_adjoint: bool | None = None
 
 
 _CONFIG = RTEConfig()
@@ -101,6 +111,12 @@ def set_assume_pressure_window(value: bool) -> None:
     """Assert (True) the PSPAN pressure-window property so traced calls
     skip the NaN-poisoning runtime guard (see RTEConfig)."""
     _CONFIG.assume_pressure_window = value
+
+
+def set_fused_adjoint(value) -> None:
+    """Force (True), disable (False), or restore auto (None) the fused
+    LW adjoint kernel (see RTEConfig.fused_adjoint)."""
+    _CONFIG.fused_adjoint = value
 
 
 def set_dtype(dtype) -> None:

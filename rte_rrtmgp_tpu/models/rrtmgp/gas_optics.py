@@ -529,6 +529,23 @@ class GasOpticsRRTMGP:
                else jnp.zeros((ngpt, ncol), play.dtype))
         tlev = None if tlev is None else jnp.asarray(tlev)
 
+        # hand-derived fused adjoint kernel (ops/pallas/fused_lw_bwd.py):
+        # eligible for broadband output with uniform pressure windows
+        # (auto: concrete pressures sharing one profile across columns)
+        kvjp_cfg = get_config().fused_adjoint
+
+        def _shared_pgrid(p):
+            try:
+                arr = np.asarray(p)      # raises on traced values
+            except Exception:
+                return False
+            return bool(np.all(arr == arr[:1]))
+
+        kernel_vjp = bool(
+            not byband
+            and (kvjp_cfg is True
+                 or (kvjp_cfg is None and _shared_pgrid(play))))
+
         def pallas_run(play, plev, tlay, tsfc, gas_concs, sfc_emis, inc,
                        tlev, col_dry, cloud_tau_abs):
             col_gas, _, idx_h2o = self._col_gas(play, plev, tlay,
@@ -543,7 +560,7 @@ class GasOpticsRRTMGP:
                 col_gas_c=col_gas_c, idx_h2o=idx_h2o, tlev_c=tlev_w.T,
                 tsfc=tsfc, emis=sfc_emis, inc=inc, ds=ds, weight=weight,
                 cloud_tau_abs=cloud_tau_abs, byband=byband,
-                interpret=not on_tpu)
+                kernel_vjp=kernel_vjp, interpret=not on_tpu)
 
         def xla_run(play, plev, tlay, tsfc, gas_concs, sfc_emis, inc,
                     tlev, col_dry, cloud_tau_abs):
@@ -551,9 +568,15 @@ class GasOpticsRRTMGP:
                 play, plev, tlay, tsfc, gas_concs, sfc_emis, inc, tlev,
                 col_dry, cloud_tau_abs, ds=ds, weight=weight, byband=byband)
 
-        out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay, tsfc,
-                             gas_concs, sfc_emis, inc, tlev, col_dry,
-                             cloud_tau_abs)
+        if kernel_vjp:
+            # descriptor prep stays plain differentiable JAX; the kernel
+            # itself carries its own Pallas VJP — no XLA-retrace wrapper
+            out = pallas_run(play, plev, tlay, tsfc, gas_concs, sfc_emis,
+                             inc, tlev, col_dry, cloud_tau_abs)
+        else:
+            out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay,
+                                 tsfc, gas_concs, sfc_emis, inc, tlev,
+                                 col_dry, cloud_tau_abs)
         return self._apply_poison(out, poison)
 
     def _lw_fused_xla_ref(self, play, plev, tlay, tsfc, gas_concs,

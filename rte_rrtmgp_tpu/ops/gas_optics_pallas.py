@@ -420,15 +420,24 @@ def _minor_tables(kd, dtype):
 def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
                    tlev_c, tsfc, emis, inc, ds, weight,
                    cloud_tau_abs=None, byband: bool = False,
-                   interpret: bool = False):
+                   kernel_vjp: bool = False, interpret: bool = False):
     """Build descriptors and run the grand fused LW gas-optics + solve
     kernel (ops/pallas/fused_lw.py). All cell inputs are layer-major
     (nlay, ncol); tlev_c (nlay+1, ncol); tsfc (ncol,) — the band Planck
     interpolation happens in-kernel from kd.totplnk; emis/inc (ngpt, ncol).
 
+    ``kernel_vjp=True`` dispatches through the hand-derived adjoint
+    kernel (ops/pallas/fused_lw_bwd.py): the kernel gets its own Pallas
+    backward and this builder's descriptor prep stays ordinary
+    differentiable JAX, so a gradient never re-traces the XLA gas
+    optics. Requires per-(block, layer) uniform pressure windows
+    (shared pressure grids) and broadband output — the CALLER asserts
+    eligibility.
+
     Returns (flux_up, flux_dn) each (nlay+1, ncol), or None when the
     configuration is ineligible."""
     from .pallas.fused_lw import lw_fused_gas_optics_solve
+    from .pallas.fused_lw_bwd import lw_fused_solve_kernel_vjp
 
     gflav = np.asarray(kd.gpoint_flavor)
     bands = np.asarray(kd.grid.band_lims_gpt_array)
@@ -477,14 +486,20 @@ def lw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, idx_h2o,
                                      col_gas_c, idx_h2o, dtype)
     mtab_lo, mtab_up = _minor_tables(kd, dtype)
 
+    kw = dict(ds=ds, weight=weight, tp_min=kd.temp_ref_min,
+              tp_delta=kd.totplnk_delta, nbnd=nbnd, w=w, nlay=nlay,
+              ncol=ncol, nflav=nflav, band_minors=tuple(band_minors),
+              cloud_tau_abs=cloud_tau_abs, interpret=interpret)
+    if kernel_vjp and not byband:
+        return lw_fused_solve_kernel_vjp(
+            flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+            tlay_c, tlev_c, tsfc, kd.totplnk,
+            emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol), **kw)
     return lw_fused_gas_optics_solve(
         flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
         tlay_c, tlev_c, tsfc, kd.totplnk,
         emis.reshape(nbnd, w, ncol), inc.reshape(nbnd, w, ncol),
-        ds=ds, weight=weight, tp_min=kd.temp_ref_min,
-        tp_delta=kd.totplnk_delta, nbnd=nbnd, w=w, nlay=nlay, ncol=ncol,
-        nflav=nflav, band_minors=tuple(band_minors),
-        cloud_tau_abs=cloud_tau_abs, byband=byband, interpret=interpret)
+        byband=byband, **kw)
 
 
 LANE_ROWS_MAX_F = 128

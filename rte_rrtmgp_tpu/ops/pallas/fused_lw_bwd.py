@@ -1,0 +1,562 @@
+"""Hand-derived adjoint Pallas kernel for the GRAND FUSED LW path:
+gas optics AND the no-scattering transport solve, backward, in one
+kernel — so a training step through the fused tier never re-traces the
+XLA gas optics (the round-3 backward rematerialized (ngpt, nlay, ncol)
+spectral fields in HBM on every gradient).
+
+Decomposition. The fused forward (fused_lw.py) is
+
+  F0  tau, pf   = gas_optics(desc, msc, tables)     [per-layer gathers]
+  F1  tau_full  = tau + cloud;  sources from pf & in-kernel Planck
+  F2-F4 transport recurrences                       (solver_lw_bwd.py)
+  F5  broadband reduction
+
+The backward kernel recomputes F0-F4 in VMEM (tables resident — the
+same gathers as the forward, none of the spectral fields ever in HBM),
+runs the transport adjoint of solver_lw_bwd.py in the fused layer-major
+layout, then transposes F1 and F0:
+
+  source adjoint   lay = pf*B_lay, lev_src = geomean(pf)*B_lev,
+                   sfc = pf[-1]*B(tsfc):   pf_bar, B_bar -> t_bar via
+                   dB/dt = (hi-lo)/tp_delta  (the totplnk lerp)
+  major adjoint    tau = sum_it ft*cm*lerp_fe(lerp_fp(gathered slab)):
+                   cm_bar  = sum_g ft*pres*tau_bar
+                   ft_bar  = sum_g (cm*pres_tau + pres_pf)*bar
+                   fe_bar  = sum_g (d pres/d fe)*(cm|1)*ft*bar
+                   fp_bar  = sum_it sum_g (presB-presA)*(cm|1)*ft*bar
+                   (per-lane sums only — no cross-lane reductions)
+  minor adjoint    tau += scal*kk:  scal_bar = sum_g kk*tau_bar, plus
+                   the fe/ft contributions through kk's lerp
+  cloud adjoint    cld_bar = sum_g tau_bar  (per band)
+
+The per-flavor fe/cm bars scatter through the forward's tropopause
+select (where(tropo, row[flo], row[fhi])) with lane masks. Everything
+downstream of the descriptor rows (interpolation coefficients, col_gas,
+minor scalings -> play/tlay/gas amounts) is plain differentiable JAX
+outside the kernel, so jax.vjp chains through it automatically.
+
+Eligibility (caller falls back to the XLA-retrace backward otherwise):
+per-(block, layer) UNIFORM pressure-window base (shared pressure grids
+— the all-sky benchmark and blocked RFMIP regime; asserted eagerly by
+the caller). The backward gathers from the un-pre-lerped 2-level slab
+(per-lane fp), which is numerically identical to both uniform forward
+branches and also yields the per-lane fp cotangent.
+
+Exactness is pinned by float64 interpret-mode tests against XLA
+autodiff of the reference formulation (tests/test_fused_autodiff.py).
+
+Reference: the hand-transported surface Jacobian is the reference's only
+derivative (rte/kernels/mo_rte_solver_kernels.F90:201-213, 731-742);
+gas-optics kernels rrtmgp/kernels/mo_gas_optics_rrtmgp_kernels.F90.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .minor_gather import _BC, _gather_rows
+
+__all__ = ["lw_fused_solve_kernel_vjp"]
+
+
+def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
+                         tab_ref, mtab_lo_ref, mtab_up_ref,
+                         tlay_ref, tlev_ref, tsfc_ref, tot_ref, cld_ref,
+                         emis_ref, inc_ref, gup_ref, gdn_ref,
+                         desc_b_ref, msc_b_ref, cld_b_ref, emis_b_ref,
+                         inc_b_ref, tlay_b_ref, tlev_b_ref, tsfc_b_ref,
+                         pres0_s, pres1_s, dfe0_s, dfe1_s, dfp0_s, dfp1_s,
+                         tau_s, pf_s, trans_s, rdn_s, rup_s, R_s, D_s,
+                         taub_s, pfb_s, sdnb_s, supb_s, *,
+                         nlay, w, band_minors, ncont_lo, nflav,
+                         with_cloud, ntot, nrow_t):
+    b = pl.program_id(1)
+    dtype = tau_s.dtype
+    eps = np.finfo(np.float32).eps
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    tau_thresh = jnp.asarray(np.sqrt(np.sqrt(eps)), dtype)
+    ds = dsw_ref[0]
+    piw = jnp.asarray(np.pi, dtype) * dsw_ref[1]
+    tp_min = dsw_ref[2]
+    tp_delta = dsw_ref[3]
+    ntw = 2 * w
+    nlev = nlay + 1
+    TE0, FE0, CM0 = 5, 5 + 2 * nflav, 5 + 4 * nflav
+    TR0 = 5 + 6 * nflav
+    flo = flav_ref[2 * b]
+    fhi = flav_ref[2 * b + 1]
+
+    @pl.when(b == 0)
+    def _():
+        # shared-accumulator outputs: zeroed once per column block
+        desc_b_ref[:, :, :] = jnp.zeros(desc_b_ref.shape, dtype)
+        msc_b_ref[:, :, :] = jnp.zeros(msc_b_ref.shape, dtype)
+        tlay_b_ref[:, :] = jnp.zeros(tlay_b_ref.shape, dtype)
+        tlev_b_ref[:, :] = jnp.zeros(tlev_b_ref.shape, dtype)
+        tsfc_b_ref[:, :] = jnp.zeros(tsfc_b_ref.shape, dtype)
+
+    def planck_band_pair(t):
+        """(value, d value/d t) of the in-kernel totplnk lerp — identical
+        lookup to the forward's planck_band (fused_lw.py)."""
+        if t.shape[0] == 1:
+            v, d = planck_band_pair(jnp.broadcast_to(t, (8,) + t.shape[1:]))
+            return v[:1], d[:1]
+        val0 = (t - tp_min) / tp_delta
+        frac = val0 - jnp.trunc(val0)
+        idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
+
+        def take(ix):
+            lane = jax.lax.rem(ix, jnp.asarray(128, ix.dtype))
+            acc = jnp.zeros_like(t)
+            for r in range(nrow_t):
+                src = jnp.broadcast_to(tot_ref[0, r, :][None, :], t.shape)
+                g = jnp.take_along_axis(src, lane, axis=1)
+                acc = acc + jnp.where(ix // 128 == r, g,
+                                      jnp.zeros_like(g))
+            return acc
+
+        lo = take(idx)
+        hi = take(idx + 1)
+        return lo + frac * (hi - lo), (hi - lo) / tp_delta
+
+    def fields(it, l):
+        tropo = desc_ref[2, l, :]
+
+        def sel(base):
+            return jnp.where(tropo > 0.5,
+                             desc_ref[base + 2 * flo + it, l, :],
+                             desc_ref[base + 2 * fhi + it, l, :])
+        return (sel(TE0).astype(jnp.int32), sel(FE0)[None, :],
+                sel(CM0)[None, :], desc_ref[3 + it, l, :][None, :])
+
+    # ---- P-R: recompute gas optics, saving the per-it lerp payloads the
+    # adjoint needs (pres, d/d fe, d/d fp) ----
+    def build_layer(l, _):
+        fp = desc_ref[0, l, :][None, :]
+        jp0 = jpin_ref[0, 0, l]
+        slab = tab_ref[b, pl.ds(jp0 * ntw, 2 * ntw), :]
+        acc = None
+        for it, (pres_s, dfe_s, dfp_s) in enumerate(
+                ((pres0_s, dfe0_s, dfp0_s), (pres1_s, dfe1_s, dfp1_s))):
+            te, fe, cmv, ftv = fields(it, l)
+            g0 = _gather_rows(slab, te)
+            g1 = _gather_rows(slab, te + 1)
+            kk = (1.0 - fe) * g0 + fe * g1
+            dk = g1 - g0
+            presA, presB = kk[:ntw, :], kk[ntw:, :]
+            pres = (1.0 - fp) * presA + fp * presB
+            pres_s[l, :, :] = pres
+            dfe_s[l, :, :] = (1.0 - fp) * dk[:ntw, :] + fp * dk[ntw:, :]
+            dfp_s[l, :, :] = presB - presA
+            term = jnp.concatenate(
+                [(ftv * cmv) * pres[:w, :], ftv * pres[w:, :]], axis=0)
+            acc = term if acc is None else acc + term
+        tau_s[l, :, :] = acc[:w, :]
+        pf_s[l, :, :] = acc[w:, :]
+        return 0
+
+    jax.lax.fori_loop(0, nlay, build_layer, 0)
+
+    # minors into tau (forward recompute; adjoint re-gathers later)
+    def minor_fwd_group(group, l):
+        for (lower, f, mg, start, lg0, wm) in group:
+            ncont = ncont_lo if lower else mtab_up_ref.shape[0] // 2
+            tref = mtab_lo_ref if lower else mtab_up_ref
+            scal = msc_ref[mg, l, :][None, :]
+            kk = jnp.zeros((wm, _BC), dtype)
+            for it in range(2):
+                rr = desc_ref[TR0 + 2 * f + it, l, :].astype(jnp.int32)
+                fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
+                ftv = desc_ref[3 + it, l, :][None, :]
+                lo = _gather_rows(tref[start:start + wm, :], rr)
+                hi = _gather_rows(
+                    tref[ncont + start:ncont + start + wm, :], rr)
+                kk = kk + ((1.0 - fe) * ftv) * lo + (fe * ftv) * hi
+            tau_s[l, lg0:lg0 + wm, :] += scal * kk
+
+    def run_minor_layers(fn):
+        for bi, members in enumerate(band_minors):
+            if not members:
+                continue
+
+            @pl.when(b == bi)
+            def _(members=members):
+                lo_mem = tuple(m for m in members if m[0])
+                up_mem = tuple(m for m in members if not m[0])
+
+                def layer(l, _):
+                    tc = jpin_ref[0, 2, l]
+                    if lo_mem:
+                        @pl.when(tc != 2)
+                        def _():
+                            fn(lo_mem, l)
+                    if up_mem:
+                        @pl.when(tc != 1)
+                        def _():
+                            fn(up_mem, l)
+                    return 0
+
+                jax.lax.fori_loop(0, nlay, layer, 0)
+
+    run_minor_layers(minor_fwd_group)
+
+    # ---- P-F: forward solve recompute (stores trans, rdn, rup) ----
+    tau = tau_s[:, :, :]
+    if with_cloud:
+        tau = tau + cld_ref[0, :, :][:, None, :]
+    pf = pf_s[:, :, :]
+    pb_lay, dpb_lay = planck_band_pair(tlay_ref[:, :])
+    pb_lev, dpb_lev = planck_band_pair(tlev_ref[:, :])
+    pb_sfc, dpb_sfc = planck_band_pair(tsfc_ref[:, :])
+    lay = pf * pb_lay[:, None, :]
+    pf_in = jnp.sqrt(pf[1:, :, :] * pf[:-1, :, :])
+    cat_top = jnp.concatenate([pf[:1, :, :], pf_in], axis=0)
+    cat_bot = jnp.concatenate([pf_in, pf[-1:, :, :]], axis=0)
+    lev_top = cat_top * pb_lev[:-1, None, :]
+    lev_bot = cat_bot * pb_lev[1:, None, :]
+
+    tl = tau * ds
+    trans = jnp.exp(-tl)
+    trans_s[:, :, :] = trans
+    tlm = jnp.maximum(tl, tiny)
+    big = tl > tau_thresh
+    fact = jnp.where(big, (1.0 - trans) / tlm - trans,
+                     tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125)))
+    sdn = (1.0 - trans) * lev_bot + 2.0 * fact * (lay - lev_bot)
+    sup = (1.0 - trans) * lev_top + 2.0 * fact * (lay - lev_top)
+    sdnb_s[:, :, :] = sdn        # reused as source storage, then bars
+    supb_s[:, :, :] = sup
+
+    rdn_s[0, :, :] = inc_ref[0, :, :] / piw
+
+    def down(l, _):
+        rdn_s[l + 1, :, :] = (trans_s[l, :, :] * rdn_s[l, :, :]
+                              + sdnb_s[l, :, :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, down, 0)
+
+    emis = emis_ref[0, :, :]
+    sfc_src = pf[nlay - 1, :, :] * pb_sfc
+    rup_s[nlay, :, :] = rdn_s[nlay, :, :] * (1.0 - emis) + emis * sfc_src
+
+    def up(i, _):
+        v = nlay - 1 - i
+        rup_s[v, :, :] = (trans_s[v, :, :] * rup_s[v + 1, :, :]
+                          + supb_s[v, :, :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, up, 0)
+
+    # ---- transport adjoint (solver_lw_bwd.py derivation, layer-major) --
+    def grow(ref, i):
+        return jnp.broadcast_to(ref[i, :][None, :], (w, _BC))
+
+    R_s[0, :, :] = piw * grow(gup_ref, 0)
+
+    def a4(v, _):
+        r = R_s[v, :, :]
+        taub_s[v, :, :] = r * rup_s[v + 1, :, :]        # trans_bar init
+        supb_s[v, :, :] = r                              # sup_bar
+        R_s[v + 1, :, :] = piw * grow(gup_ref, v + 1) + trans_s[v, :, :] * r
+        return 0
+
+    jax.lax.fori_loop(0, nlay, a4, 0)
+
+    r_sfc = R_s[nlay, :, :]
+    emis_b_ref[0, :, :] = r_sfc * (sfc_src - rdn_s[nlay, :, :])
+    ssrc_b = emis * r_sfc
+
+    D_s[nlay, :, :] = piw * grow(gdn_ref, nlay) + (1.0 - emis) * r_sfc
+
+    def a2(i, _):
+        l = nlay - 1 - i
+        d = D_s[l + 1, :, :]
+        taub_s[l, :, :] += rdn_s[l, :, :] * d
+        sdnb_s[l, :, :] = d                              # sdn_bar
+        D_s[l, :, :] = piw * grow(gdn_ref, l) + trans_s[l, :, :] * d
+        return 0
+
+    jax.lax.fori_loop(0, nlay, a2, 0)
+
+    inc_b_ref[0, :, :] = D_s[0, :, :] / piw
+
+    # ---- A1: elementwise chain to tau_bar and the source bars ----
+    sdn_b = sdnb_s[:, :, :]
+    sup_b = supb_s[:, :, :]
+    trans_b = taub_s[:, :, :]
+    lay_b = 2.0 * fact * (sdn_b + sup_b)
+    coef = 1.0 - trans - 2.0 * fact
+    levb_b = coef * sdn_b
+    levt_b = coef * sup_b
+    fact_b = 2.0 * ((lay - lev_bot) * sdn_b + (lay - lev_top) * sup_b)
+    trans_b = (trans_b - (lev_bot * sdn_b + lev_top * sup_b)
+               + fact_b * jnp.where(big, -1.0 / tlm - 1.0, 0.0))
+    dsmall = 0.5 + tl * (-2.0 / 3.0 + tl * 0.375)
+    tl_b = (fact_b * jnp.where(big, -(1.0 - trans) / (tlm * tlm), dsmall)
+            - trans * trans_b)
+    tau_b = tl_b * ds
+    taub_s[:, :, :] = tau_b
+
+    if with_cloud:
+        cld_b_ref[0, :, :] = jnp.sum(tau_b, axis=1)
+
+    # ---- source adjoint: pf_bar and the Planck temperature bars ----
+    # (value-level scatter-add does not lower on Mosaic; every indexed
+    # accumulation below is expressed as a static concatenate)
+    zrow = jnp.zeros((1, w, _BC), dtype)
+    zlev = jnp.zeros((1, _BC), dtype)
+    pb_lay_b = jnp.sum(lay_b * pf, axis=1)
+    pb_lev_b = (jnp.concatenate([jnp.sum(levt_b * cat_top, axis=1), zlev],
+                                axis=0)
+                + jnp.concatenate([zlev,
+                                   jnp.sum(levb_b * cat_bot, axis=1)],
+                                  axis=0))
+    cat_top_b = levt_b * pb_lev[:-1, None, :]
+    cat_bot_b = levb_b * pb_lev[1:, None, :]
+    pf_in_b = cat_top_b[1:, :, :] + cat_bot_b[:-1, :, :]
+    # d pf_in / d pf[l] = 0.5 * pf_in / pf[l]  (pf > 0 from the tables)
+    dlo = pf_in_b * (0.5 * pf_in / jnp.maximum(pf[:-1, :, :], tiny))
+    dhi = pf_in_b * (0.5 * pf_in / jnp.maximum(pf[1:, :, :], tiny))
+    pf_b = (lay_b * pb_lay[:, None, :]
+            + jnp.concatenate([cat_top_b[:1], dhi], axis=0)
+            + jnp.concatenate([dlo, cat_bot_b[-1:]
+                               + ssrc_b[None, :, :] * pb_sfc[None, :, :]],
+                              axis=0))
+    pb_sfc_b = jnp.sum(ssrc_b * pf[nlay - 1, :, :], axis=0)[None, :]
+    pfb_s[:, :, :] = pf_b
+
+    tlay_b_ref[:, :] += pb_lay_b * dpb_lay
+    tlev_b_ref[:, :] += pb_lev_b * dpb_lev
+    tsfc_b_ref[:, :] += pb_sfc_b * dpb_sfc[:1, :]
+
+    # ---- A-major: per-layer descriptor bars ----
+    def major_bar_layer(l, _):
+        tropo = desc_ref[2, l, :]
+        mlo = (tropo > 0.5).astype(dtype)[None, :]
+        mhi = 1.0 - mlo
+        tb = taub_s[l, :, :]
+        pb = pfb_s[l, :, :]
+        fp_acc = jnp.zeros((1, _BC), dtype)
+        for it, (pres_s, dfe_s, dfp_s) in enumerate(
+                ((pres0_s, dfe0_s, dfp0_s), (pres1_s, dfe1_s, dfp1_s))):
+            _te, fe, cmv, ftv = fields(it, l)
+            pres = pres_s[l, :, :]
+            dfe = dfe_s[l, :, :]
+            dfp = dfp_s[l, :, :]
+            bar_tau = ftv * tb                       # (w, BC)
+            bar_pf = ftv * pb
+            cm_b = jnp.sum(pres[:w, :] * bar_tau, axis=0)[None, :]
+            ft_b = (jnp.sum(pres[:w, :] * (cmv * tb), axis=0)
+                    + jnp.sum(pres[w:, :] * pb, axis=0))[None, :]
+            fe_b = (jnp.sum(dfe[:w, :] * (cmv * bar_tau), axis=0)
+                    + jnp.sum(dfe[w:, :] * bar_pf, axis=0))[None, :]
+            fp_acc = fp_acc + (
+                jnp.sum(dfp[:w, :] * (cmv * bar_tau), axis=0)
+                + jnp.sum(dfp[w:, :] * bar_pf, axis=0))[None, :]
+            desc_b_ref[3 + it, l, :] += ft_b[0, :]
+            desc_b_ref[CM0 + 2 * flo + it, l, :] += (mlo * cm_b)[0, :]
+            desc_b_ref[CM0 + 2 * fhi + it, l, :] += (mhi * cm_b)[0, :]
+            desc_b_ref[FE0 + 2 * flo + it, l, :] += (mlo * fe_b)[0, :]
+            desc_b_ref[FE0 + 2 * fhi + it, l, :] += (mhi * fe_b)[0, :]
+        desc_b_ref[0, l, :] += fp_acc[0, :]
+        return 0
+
+    jax.lax.fori_loop(0, nlay, major_bar_layer, 0)
+
+    # ---- A-minors: re-gather and scatter bars ----
+    def minor_bar_group(group, l):
+        for (lower, f, mg, start, lg0, wm) in group:
+            ncont = ncont_lo if lower else mtab_up_ref.shape[0] // 2
+            tref = mtab_lo_ref if lower else mtab_up_ref
+            scal = msc_ref[mg, l, :][None, :]
+            tb = taub_s[l, lg0:lg0 + wm, :]
+            kk = jnp.zeros((wm, _BC), dtype)
+            for it in range(2):
+                rr = desc_ref[TR0 + 2 * f + it, l, :].astype(jnp.int32)
+                fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
+                ftv = desc_ref[3 + it, l, :][None, :]
+                lo = _gather_rows(tref[start:start + wm, :], rr)
+                hi = _gather_rows(
+                    tref[ncont + start:ncont + start + wm, :], rr)
+                lerp = (1.0 - fe) * lo + fe * hi
+                kk = kk + ftv * lerp
+                common = scal * tb
+                fe_c = jnp.sum((hi - lo) * (ftv * common), axis=0)
+                ft_c = jnp.sum(lerp * common, axis=0)
+                desc_b_ref[FE0 + 2 * f + it, l, :] += fe_c
+                desc_b_ref[3 + it, l, :] += ft_c
+            msc_b_ref[mg, l, :] += jnp.sum(kk * tb, axis=0)
+
+    run_minor_layers(minor_bar_group)
+
+
+def lw_fused_solve_kernel_vjp(flav, desc, msc, table_lane, mtab_lo,
+                              mtab_up, tlay, tlev, tsfc, totplnk, emis,
+                              inc, *, ds, weight, tp_min, tp_delta, nbnd,
+                              w, nlay, ncol, nflav, band_minors,
+                              cloud_tau_abs=None, interpret=False):
+    """The fused LW gas-optics + solve with BOTH directions as Pallas
+    kernels: forward = fused_lw.lw_fused_gas_optics_solve, backward =
+    the adjoint kernel above. Differentiable wrt desc, msc, tlay, tlev,
+    tsfc, emis, inc, and cloud_tau_abs; tables/flav are constants.
+    Same signature/returns as the forward entry point (broadband only).
+    Caller must guarantee per-(block, layer) uniform pressure windows."""
+    from .fused_lw import lw_fused_gas_optics_solve
+
+    statics = dict(ds=ds, weight=weight, tp_min=tp_min, tp_delta=tp_delta,
+                   nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav,
+                   band_minors=band_minors, interpret=interpret)
+    with_cloud = cloud_tau_abs is not None
+
+    # Every array is an EXPLICIT argument of the custom_vjp: arrays
+    # built by jnp ops inside an enclosing jit trace (flav, zero-filled
+    # minor tables) are tracers, and a tracer captured in a custom_vjp
+    # CLOSURE leaks across trace levels under grad-of-jit ("no constant
+    # handler for DynamicJaxprTracer"). Constants get zero (or float0,
+    # for the integer flav) cotangents.
+    @jax.custom_vjp
+    def run(flav, table_lane, mtab_lo, mtab_up, totplnk,
+            desc, msc, tlay, tlev, tsfc, emis, inc, cloud):
+        return lw_fused_gas_optics_solve(
+            flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay, tlev,
+            tsfc, totplnk, emis, inc,
+            cloud_tau_abs=(cloud if with_cloud else None), **statics)
+
+    def fwd(*args):
+        return run(*args), args
+
+    def bwd(res, ct):
+        (flav, table_lane, mtab_lo, mtab_up, totplnk,
+         desc, msc, tlay, tlev, tsfc, emis, inc, cloud) = res
+        g_up, g_dn = ct
+        bars = _lw_fused_bwd(
+            flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay, tlev,
+            tsfc, totplnk, emis, inc, cloud, g_up, g_dn, **statics)
+        (desc_b, msc_b, tlay_b, tlev_b, tsfc_b, emis_b, inc_b,
+         cld_b) = bars
+        fz = np.zeros(flav.shape, jax.dtypes.float0)
+        return (fz, jnp.zeros_like(table_lane), jnp.zeros_like(mtab_lo),
+                jnp.zeros_like(mtab_up), jnp.zeros_like(totplnk),
+                desc_b, msc_b, tlay_b, tlev_b, tsfc_b, emis_b, inc_b,
+                cld_b)
+
+    run.defvjp(fwd, bwd)
+    zc = (cloud_tau_abs if with_cloud
+          else jnp.zeros((1, nlay, ncol), desc.dtype))
+    up, dn = run(flav, table_lane, mtab_lo, mtab_up, totplnk,
+                 desc, msc, tlay, tlev, tsfc, emis, inc, zc)
+    return up, dn
+
+
+def _lw_fused_bwd(flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay,
+                  tlev, tsfc, totplnk, emis, inc, cloud, g_up, g_dn, *,
+                  ds, weight, tp_min, tp_delta, nbnd, w, nlay, ncol,
+                  nflav, band_minors, interpret):
+    """Run the adjoint kernel; returns cotangents for (desc, msc, tlay,
+    tlev, tsfc, emis, inc, cloud)."""
+    dtype = desc.dtype
+    ntot = totplnk.shape[0]
+    nrow_t = (ntot + 127) // 128
+    tot_lane = jnp.pad(totplnk.astype(dtype),
+                       ((0, nrow_t * 128 - ntot), (0, 0))
+                       ).T.reshape(nbnd, nrow_t, 128)
+    tsfc2 = jnp.asarray(tsfc, dtype).reshape(1, -1)
+    pc = (-ncol) % _BC
+    padc = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pc)])
+    padc_e = lambda x: (x if pc == 0 else jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, pc)], mode="edge"))
+    ncol_p = ncol + pc
+    nlev = nlay + 1
+    ntw = 2 * w
+    dsw = jnp.stack([jnp.asarray(ds, dtype).reshape(()),
+                     jnp.asarray(weight, dtype).reshape(()),
+                     jnp.asarray(tp_min, dtype).reshape(()),
+                     jnp.asarray(tp_delta, dtype).reshape(())])
+
+    desc_p = padc_e(desc)
+    jp_all = desc_p[1].astype(jnp.int32)
+    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
+    jp0 = jnp.min(jp_blk, axis=-1).T
+    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
+    tr_min = jnp.min(tr_blk, axis=-1).T
+    tr_max = jnp.max(tr_blk, axis=-1).T
+    tcode = jnp.where(tr_min == tr_max,
+                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
+    jpin = jnp.stack([jp0, jnp.ones_like(jp0), tcode], 1)
+
+    kern = functools.partial(
+        _fused_lw_bwd_kernel, nlay=nlay, w=w, band_minors=band_minors,
+        ncont_lo=mtab_lo.shape[0] // 2, nflav=nflav, with_cloud=True,
+        ntot=ntot, nrow_t=nrow_t)
+
+    cb_rows = lambda a: pl.BlockSpec(
+        (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
+        memory_space=pltpu.VMEM)
+    resident = lambda a: pl.BlockSpec(a.shape, lambda c, b: (0,) * a.ndim,
+                                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem_cl = pl.BlockSpec((1, 3, nlay), lambda c, b: (c, 0, 0),
+                           memory_space=pltpu.SMEM)
+    band3 = pl.BlockSpec((1, nlay, _BC), lambda c, b: (b, 0, c),
+                         memory_space=pltpu.VMEM)
+    bnd2 = pl.BlockSpec((1, w, _BC), lambda c, b: (b, 0, c),
+                        memory_space=pltpu.VMEM)
+    vrow = lambda r: pl.BlockSpec((r, _BC), lambda c, b: (0, c),
+                                  memory_space=pltpu.VMEM)
+    tot_spec = pl.BlockSpec((1, nrow_t, 128), lambda c, b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scrw = lambda nl, rows: pltpu.VMEM((nl, rows, _BC), dtype)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(ncol_p // _BC, nbnd),
+        in_specs=[
+            smem, smem, smem_cl,
+            cb_rows(desc), cb_rows(msc),
+            resident(table_lane), resident(mtab_lo), resident(mtab_up),
+            vrow(nlay), vrow(nlev), vrow(1), tot_spec,
+            band3, bnd2, bnd2,
+            vrow(nlev), vrow(nlev),
+        ],
+        out_specs=[cb_rows(desc), cb_rows(msc), band3, bnd2, bnd2,
+                   vrow(nlay), vrow(nlev), vrow(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct(desc_p.shape, dtype),
+            jax.ShapeDtypeStruct((msc.shape[0], nlay, ncol_p), dtype),
+            jax.ShapeDtypeStruct((nbnd, nlay, ncol_p), dtype),
+            jax.ShapeDtypeStruct((nbnd, w, ncol_p), dtype),
+            jax.ShapeDtypeStruct((nbnd, w, ncol_p), dtype),
+            jax.ShapeDtypeStruct((nlay, ncol_p), dtype),
+            jax.ShapeDtypeStruct((nlev, ncol_p), dtype),
+            jax.ShapeDtypeStruct((1, ncol_p), dtype),
+        ],
+        scratch_shapes=[
+            scrw(nlay, ntw), scrw(nlay, ntw),     # pres0, pres1
+            scrw(nlay, ntw), scrw(nlay, ntw),     # dfe0, dfe1
+            scrw(nlay, ntw), scrw(nlay, ntw),     # dfp0, dfp1
+            scrw(nlay, w), scrw(nlay, w),         # tau_s, pf_s
+            scrw(nlay, w),                        # trans_s
+            scrw(nlev, w), scrw(nlev, w),         # rdn_s, rup_s
+            scrw(nlev, w), scrw(nlev, w),         # R_s, D_s
+            scrw(nlay, w), scrw(nlay, w),         # taub_s, pfb_s
+            scrw(nlay, w), scrw(nlay, w),         # sdnb_s, supb_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(dsw, flav, jpin, desc_p, padc(msc),
+      table_lane, mtab_lo, mtab_up,
+      padc_e(tlay), padc_e(tlev), padc_e(tsfc2), tot_lane,
+      padc(cloud), padc(emis), padc(inc),
+      padc_e(g_up), padc_e(g_dn))
+
+    (desc_b, msc_b, cld_b, emis_b, inc_b, tlay_b, tlev_b, tsfc_b) = outs
+    unc = lambda x: x[..., :ncol]
+    return (unc(desc_b), unc(msc_b), unc(tlay_b), unc(tlev_b),
+            unc(tsfc_b).reshape(-1), unc(emis_b), unc(inc_b), unc(cld_b))

@@ -73,11 +73,21 @@ def _lw_loss(gas_lw, inp, use_fused):
 
 
 def test_lw_fused_grad_matches_xla(setup):
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+
     gas_lw, _, inp = setup
     cld_abs = 0.05 * jnp.ones((4, NLAY, NCOL), inp.play.dtype)
     args = (inp.tlay, inp.tsfc, inp.gas_concs, cld_abs)
 
-    g_fused = jax.grad(_lw_loss(gas_lw, inp, True), argnums=(0, 1, 2, 3))(*args)
+    # pin the XLA-VJP bridge (the fused-adjoint KERNEL is validated
+    # separately below): with the bridge, fused and XLA grads are
+    # bitwise the same backward computation
+    set_fused_adjoint(False)
+    try:
+        g_fused = jax.grad(_lw_loss(gas_lw, inp, True),
+                           argnums=(0, 1, 2, 3))(*args)
+    finally:
+        set_fused_adjoint(None)
     g_xla = jax.grad(_lw_loss(gas_lw, inp, False), argnums=(0, 1, 2, 3))(*args)
 
     leaves_f = jax.tree_util.tree_leaves(g_fused)
@@ -526,3 +536,98 @@ def test_byband_fused_grad_matches_xla(setup):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-6, atol=1e-8)
     assert np.any(np.asarray(gx) != 0.0)
+
+
+def _fused_lw_loss_fns(gas, inp, ngpt, ncol):
+    """Paired (kernel-vjp loss, XLA loss) closures differentiating wrt
+    (play, plev, tlay, tsfc, gas_concs, cloud_tau_abs)."""
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+
+    ds, wt = GAUSS_DS[0][0], GAUSS_WTS[0][0]
+    dtype = inp.play.dtype
+    emis = jnp.broadcast_to(inp.sfc_emis[:, 0][None, :], (ngpt, ncol)
+                            ).astype(dtype)
+    nlev = inp.plev.shape[1]
+    w_lev = jnp.linspace(0.5, 1.5, nlev, dtype=dtype)[:, None]
+
+    def functional(up, dn):
+        return jnp.sum(w_lev.T * up.T) + 0.5 * jnp.sum(w_lev.T * dn.T)
+
+    def loss_kernel(play, plev, tlay, tsfc, gas_concs, cld):
+        set_use_pallas(True)
+        set_fused_adjoint(True)
+        try:
+            up, dn = gas.lw_fused_solve(
+                play, plev, tlay, tsfc, gas_concs, sfc_emis=emis,
+                tlev=inp.tlev, cloud_tau_abs=cld, ds=ds, weight=wt)
+        finally:
+            set_use_pallas(None)
+            set_fused_adjoint(None)
+        return functional(up, dn)
+
+    def loss_xla(play, plev, tlay, tsfc, gas_concs, cld):
+        set_use_pallas(False)
+        try:
+            up, dn = gas._lw_fused_xla_ref(
+                play, plev, tlay, tsfc, gas_concs, emis,
+                jnp.zeros((ngpt, ncol), dtype), inp.tlev, None, cld,
+                ds=ds, weight=wt, byband=False)
+        finally:
+            set_use_pallas(None)
+        return functional(up, dn)
+
+    return loss_kernel, loss_xla
+
+
+def test_lw_fused_kernel_vjp_exact_f64():
+    """The hand-derived FUSED-path adjoint kernel (gas optics + solve
+    backward in one Pallas kernel, ops/pallas/fused_lw_bwd.py) in
+    float64 interpret mode matches XLA autodiff of the reference
+    formulation to ~1e-9 — including the pressure (fp), eta, col_mix,
+    minor-scaling, Planck-temperature, cloud, emissivity and incident
+    cotangents. The derivation is exact; the f32 tier differs only by
+    independent-implementation rounding."""
+    f64 = jnp.float64
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=5, npres=10,
+                         dtype=f64)
+    gas = GasOpticsRRTMGP(kd)
+    cld_opt = synthetic_cloud_optics(
+        nbnd=4, band_lims_wvn=kd.grid.band_lims_wvn_array, dtype=f64)
+    inp = make_allsky_inputs(NCOL, NLAY, cloud_optics=cld_opt, dtype=f64)
+    cld = 0.05 * jnp.ones((4, NLAY, NCOL), f64)
+    loss_k, loss_x = _fused_lw_loss_fns(gas, inp, 32, NCOL)
+    args = (inp.play, inp.plev, inp.tlay, inp.tsfc, inp.gas_concs, cld)
+
+    np.testing.assert_allclose(float(loss_k(*args)), float(loss_x(*args)),
+                               rtol=1e-11)
+    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(6)))(*args)
+    lk = jax.tree_util.tree_leaves(gk)
+    lx = jax.tree_util.tree_leaves(gx)
+    assert len(lk) == len(lx)
+    nonzero = 0
+    for a, b in zip(lk, lx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-12)
+        nonzero += int(np.any(np.asarray(b) != 0.0))
+    assert nonzero >= 5      # play, tlay, tsfc, gases, cloud all flow
+
+
+def test_lw_fused_kernel_vjp_auto_f32(setup):
+    """Auto dispatch: with shared pressure grids and concrete pressures
+    the fused LW path takes the adjoint KERNEL backward by default
+    (config fused_adjoint=None), agreeing with the XLA backward to f32
+    independent-rounding tolerance."""
+    gas_lw, _, inp = setup
+    cld = 0.05 * jnp.ones((4, NLAY, NCOL), inp.play.dtype)
+    loss_k, loss_x = _fused_lw_loss_fns(gas_lw, inp, 32, NCOL)
+    # shared profile across columns => auto eligibility holds
+    assert bool(np.all(np.asarray(inp.play) == np.asarray(inp.play[:1])))
+    args = (inp.play, inp.plev, inp.tlay, inp.tsfc, inp.gas_concs, cld)
+    gk = jax.grad(loss_k, argnums=(2, 3, 5))(*args)
+    gx = jax.grad(loss_x, argnums=(2, 3, 5))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-30, float(np.abs(b).max()))
+        assert float(np.abs(a - b).max()) / scale < 5e-4
