@@ -40,6 +40,17 @@ __all__ = ["GasOpticsRRTMGP", "get_col_dry"]
 from ...ops.pallas.autodiff import with_xla_grad as _with_xla_grad
 
 
+def _shared_pgrid(play) -> bool:
+    """True when every column shares one pressure profile (concrete
+    values only) — the eager eligibility for the fused adjoint kernels
+    (uniform per-(block, layer) pressure windows are then guaranteed)."""
+    try:
+        arr = np.asarray(play)           # raises on traced values
+    except Exception:
+        return False
+    return bool(np.all(arr == arr[:1]))
+
+
 def get_col_dry(vmr_h2o, plev):
     """Number of dry-air molecules per cm^2 per layer (reference
     ``get_layer_number``, rte/kernels/mo_gas_optics_utils.F90:127-152)."""
@@ -533,14 +544,6 @@ class GasOpticsRRTMGP:
         # eligible for broadband output with uniform pressure windows
         # (auto: concrete pressures sharing one profile across columns)
         kvjp_cfg = get_config().fused_adjoint
-
-        def _shared_pgrid(p):
-            try:
-                arr = np.asarray(p)      # raises on traced values
-            except Exception:
-                return False
-            return bool(np.all(arr == arr[:1]))
-
         kernel_vjp = bool(
             not byband
             and (kvjp_cfg is True
@@ -649,6 +652,12 @@ class GasOpticsRRTMGP:
                else jnp.broadcast_to(kd.solar_source[:, None], (ngpt, ncol)
                                      ).astype(play.dtype))
 
+        kvjp_cfg = get_config().fused_adjoint
+        kernel_vjp = bool(
+            not byband
+            and (kvjp_cfg is True
+                 or (kvjp_cfg is None and _shared_pgrid(play))))
+
         def pallas_run(play, plev, tlay, gas_concs, mu0, sfc_alb_dir,
                        sfc_alb_dif, inc, incdif, col_dry, cloud):
             col_gas, col_dry_w, idx_h2o = self._col_gas(play, plev, tlay,
@@ -661,7 +670,8 @@ class GasOpticsRRTMGP:
                 col_gas_c=col_gas_c, col_dry_c=col_dry_w.T,
                 idx_h2o=idx_h2o, cloud=cloud, mu0=mu0,
                 sfc_alb_dir=sfc_alb_dir, sfc_alb_dif=sfc_alb_dif, inc=inc,
-                incdif=incdif, byband=byband, interpret=not on_tpu)
+                incdif=incdif, byband=byband, kernel_vjp=kernel_vjp,
+                interpret=not on_tpu)
 
         def xla_run(play, plev, tlay, gas_concs, mu0, sfc_alb_dir,
                     sfc_alb_dif, inc, incdif, col_dry, cloud):
@@ -669,9 +679,16 @@ class GasOpticsRRTMGP:
                 play, plev, tlay, gas_concs, mu0, sfc_alb_dir, sfc_alb_dif,
                 inc, incdif, col_dry, cloud, byband=byband)
 
-        out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay,
-                             gas_concs, mu0, sfc_alb_dir, sfc_alb_dif, inc,
-                             inc_flux_dif, col_dry, cloud)
+        if kernel_vjp:
+            # descriptor prep stays plain differentiable JAX; the kernel
+            # itself carries its own Pallas VJP — no XLA-retrace wrapper
+            out = pallas_run(play, plev, tlay, gas_concs, mu0,
+                             sfc_alb_dir, sfc_alb_dif, inc, inc_flux_dif,
+                             col_dry, cloud)
+        else:
+            out = _with_xla_grad(pallas_run, xla_run, play, plev, tlay,
+                                 gas_concs, mu0, sfc_alb_dir, sfc_alb_dif,
+                                 inc, inc_flux_dif, col_dry, cloud)
         return self._apply_poison(out, poison)
 
     def _sw_fused_xla_ref(self, play, plev, tlay, gas_concs, mu0,

@@ -508,13 +508,16 @@ LANE_ROWS_MAX_F = 128
 def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
                    idx_h2o, cloud, mu0, sfc_alb_dir, sfc_alb_dif, inc,
                    incdif=None, byband: bool = False,
-                   interpret: bool = False):
+                   kernel_vjp: bool = False, interpret: bool = False):
     """Build descriptors and run the grand fused SW gas-optics + two-stream
     kernel (ops/pallas/fused_sw.py). Cell inputs layer-major (nlay, ncol);
     cloud = by-band delta-scaled (tau, ssa, g) or None; mu0 (nlay, ncol);
-    boundary fields (ngpt, ncol). Returns (flux_up, flux_dn, flux_dir)
-    each (nlay+1, ncol), or None when ineligible."""
+    boundary fields (ngpt, ncol). ``kernel_vjp=True`` dispatches through
+    the hand-derived adjoint kernel (ops/pallas/fused_sw_bwd.py) — see
+    lw_fused_lanes. Returns (flux_up, flux_dn, flux_dir) each
+    (nlay+1, ncol), or None when ineligible."""
     from .pallas.fused_sw import sw_fused_gas_optics_solve
+    from .pallas.fused_sw_bwd import sw_fused_solve_kernel_vjp
 
     gflav = np.asarray(kd.gpoint_flavor)
     bands = np.asarray(kd.grid.band_lims_gpt_array)
@@ -569,12 +572,14 @@ def sw_fused_lanes(coeffs, kd, *, play_c, tlay_c, col_gas_c, col_dry_c,
     nlanes = kd.krayl_lane.shape[-1]
     rayl_band = (kd.krayl_lane.reshape(2, 2, nbnd, w, nlanes)
                  .transpose(2, 0, 1, 3, 4).reshape(nbnd, 4 * w, nlanes))
-    return sw_fused_gas_optics_solve(
-        flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
-        rayl_band, cloud, mu0,
-        sfc_alb_dir.reshape(nbnd, w, ncol),
-        sfc_alb_dif.reshape(nbnd, w, ncol),
-        inc.reshape(nbnd, w, ncol), incdif_w.reshape(nbnd, w, ncol),
-        nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav, ngpt=ngpt,
-        band_minors=tuple(band_minors), band_g0=tuple(band_g0),
-        byband=byband, interpret=interpret)
+    kw = dict(nbnd=nbnd, w=w, nlay=nlay, ncol=ncol, nflav=nflav,
+              ngpt=ngpt, band_minors=tuple(band_minors),
+              band_g0=tuple(band_g0), interpret=interpret)
+    args = (flav, desc, msc, kd.kmajor_lane, mtab_lo, mtab_up,
+            rayl_band, cloud, mu0,
+            sfc_alb_dir.reshape(nbnd, w, ncol),
+            sfc_alb_dif.reshape(nbnd, w, ncol),
+            inc.reshape(nbnd, w, ncol), incdif_w.reshape(nbnd, w, ncol))
+    if kernel_vjp and not byband:
+        return sw_fused_solve_kernel_vjp(*args, **kw)
+    return sw_fused_gas_optics_solve(*args, byband=byband, **kw)

@@ -104,6 +104,63 @@ def main():
         functools.partial(sw_loss, use_pallas=False),
         (tau, ssa, gg, mu0, alb))
 
+    # ---- GRAND-FUSED path: gas optics + solve, forward vs the fused
+    # adjoint kernels (ops/pallas/fused_lw_bwd.py / fused_sw_bwd.py) vs
+    # the XLA-retrace backward (the round-3 behavior) ----
+    fused_allsky()
+
+
+def fused_allsky():
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw,
+                                               allsky_step_sw,
+                                               make_allsky_inputs)
+    from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+    from rte_rrtmgp_tpu.utils.synthetic import (synthetic_cloud_optics,
+                                                synthetic_kdist)
+
+    small = os.environ.get("ADJ_SMALL", "0") == "1"   # CPU smoke
+    kw_lw = (dict(ngpt=32, nbnd=4, ntemp=5, npres=10) if small
+             else dict(ngpt=256, nbnd=16, ntemp=14, npres=59))
+    kw_sw = (dict(ngpt=32, nbnd=4, ntemp=5, npres=10) if small
+             else dict(ngpt=224, nbnd=14, ntemp=14, npres=59))
+    kd_lw = synthetic_kdist(sw=False, **kw_lw)
+    kd_sw = synthetic_kdist(sw=True, **kw_sw)
+    gas_lw, gas_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+    cld_lw = synthetic_cloud_optics(
+        nbnd=16, band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
+    cld_sw = synthetic_cloud_optics(
+        nbnd=14, band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
+    inp = make_allsky_inputs(NCOL, NLAY, cloud_optics=cld_lw)
+
+    def loss(tlay, lwp):
+        i = inp._replace(tlay=tlay, lwp=lwp)
+        flw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
+        fsw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
+        return (jnp.sum(flw.flux_net) + jnp.sum(fsw.flux_up)
+                + jnp.sum(fsw.flux_dn))
+
+    args = (inp.tlay, inp.lwp)
+    set_use_pallas(True)
+    try:
+        fwd = jax.jit(loss)
+        t_f = timeit(fwd, *args, reps=REPS, inner=INNER)
+        set_fused_adjoint(True)       # the Pallas adjoint kernels
+        gk = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        t_k = timeit(gk, *args, reps=REPS, inner=INNER)
+        set_fused_adjoint(False)      # the XLA-retrace backward
+        gx = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        t_x = timeit(gx, *args, reps=REPS, inner=max(1, INNER // 2))
+    finally:
+        set_use_pallas(None)
+        set_fused_adjoint(None)
+    emit(measure="fused_allsky_grad", ncol=NCOL, nlay=NLAY,
+         forward_ms=round(t_f * 1e3, 2),
+         adjoint_kernel_bwd_ms=round(t_k * 1e3, 2),
+         xla_retrace_bwd_ms=round(t_x * 1e3, 2),
+         bwd_over_fwd=round(t_k / t_f, 2),
+         speedup_vs_xla=round(t_x / t_k, 2))
+
 
 if __name__ == "__main__":
     main()

@@ -182,8 +182,17 @@ def test_sw_fused_grad_matches_xla(setup):
         return (jnp.sum(w_lev * up) + 0.5 * jnp.sum(w_lev * dn)
                 + 0.25 * jnp.sum(fdir))
 
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+
     args = (inp.tlay, inp.gas_concs, cld)
-    g_fused = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(*args)
+    # pin the XLA-VJP bridge (the SW fused-adjoint KERNEL is validated
+    # separately below at f64/f32 tolerances)
+    set_fused_adjoint(False)
+    try:
+        g_fused = jax.grad(lambda *a: loss(*a, True),
+                           argnums=(0, 1, 2))(*args)
+    finally:
+        set_fused_adjoint(None)
     g_xla = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(*args)
     for a, b in zip(jax.tree_util.tree_leaves(g_fused),
                     jax.tree_util.tree_leaves(g_xla)):
@@ -626,6 +635,106 @@ def test_lw_fused_kernel_vjp_auto_f32(setup):
     args = (inp.play, inp.plev, inp.tlay, inp.tsfc, inp.gas_concs, cld)
     gk = jax.grad(loss_k, argnums=(2, 3, 5))(*args)
     gx = jax.grad(loss_x, argnums=(2, 3, 5))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-30, float(np.abs(b).max()))
+        assert float(np.abs(a - b).max()) / scale < 5e-4
+
+
+def _fused_sw_loss_fns(gas, inp, ngpt, ncol, nlay):
+    """Paired (kernel-vjp loss, XLA loss) closures differentiating wrt
+    (play, plev, tlay, gas_concs, cloud, mu0, alb)."""
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+
+    dtype = inp.play.dtype
+    w_lev = jnp.linspace(0.5, 1.5, nlay + 1, dtype=dtype)[:, None]
+
+    def functional(up, dn, fdir):
+        return (jnp.sum(w_lev.T * up.T) + 0.5 * jnp.sum(w_lev.T * dn.T)
+                + 0.25 * jnp.sum(fdir))
+
+    def loss_kernel(play, plev, tlay, gas_concs, cloud, mu0, alb):
+        set_use_pallas(True)
+        set_fused_adjoint(True)
+        try:
+            up, dn, fdir = gas.sw_fused_solve(
+                play, plev, tlay, gas_concs, mu0=mu0, sfc_alb_dir=alb,
+                sfc_alb_dif=alb, cloud=cloud)
+        finally:
+            set_use_pallas(None)
+            set_fused_adjoint(None)
+        return functional(up, dn, fdir)
+
+    def loss_xla(play, plev, tlay, gas_concs, cloud, mu0, alb):
+        inc = jnp.broadcast_to(gas.kdist.solar_source[:, None],
+                               (ngpt, ncol)).astype(dtype)
+        set_use_pallas(False)
+        try:
+            up, dn, fdir = gas._sw_fused_xla_ref(
+                play, plev, tlay, gas_concs, mu0, alb, alb, inc, None,
+                None, cloud, byband=False)
+        finally:
+            set_use_pallas(None)
+        return functional(up, dn, fdir)
+
+    return loss_kernel, loss_xla
+
+
+def test_sw_fused_kernel_vjp_exact_f64():
+    """The hand-derived FUSED-path SW adjoint kernel (gas optics +
+    Rayleigh + cloud combine + Meador-Weaver two-stream + adding,
+    backward, in one Pallas kernel — ops/pallas/fused_sw_bwd.py) in
+    float64 interpret mode matches XLA autodiff of the reference
+    formulation to ~1e-8 across play/plev/tlay/gas/cloud/mu0/albedo
+    cotangents."""
+    f64 = jnp.float64
+    kd = synthetic_kdist(sw=True, ngpt=32, nbnd=4, ntemp=5, npres=10,
+                         dtype=f64)
+    gas = GasOpticsRRTMGP(kd)
+    cld_opt = synthetic_cloud_optics(
+        nbnd=4, band_lims_wvn=kd.grid.band_lims_wvn_array, dtype=f64)
+    inp = make_allsky_inputs(NCOL, NLAY, cloud_optics=cld_opt, dtype=f64)
+    cloud = tuple(v * jnp.ones((4, NLAY, NCOL), f64)
+                  for v in (0.1, 0.6, 0.5))
+    mu0 = jnp.broadcast_to(jnp.asarray(inp.mu0, f64)[None, :],
+                           (NLAY, NCOL))
+    alb = jnp.broadcast_to(inp.sfc_alb[:, 0][None, :], (32, NCOL)
+                           ).astype(f64)
+    loss_k, loss_x = _fused_sw_loss_fns(gas, inp, 32, NCOL, NLAY)
+    args = (inp.play, inp.plev, inp.tlay, inp.gas_concs, cloud, mu0, alb)
+
+    np.testing.assert_allclose(float(loss_k(*args)), float(loss_x(*args)),
+                               rtol=1e-11)
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    lk = jax.tree_util.tree_leaves(gk)
+    lx = jax.tree_util.tree_leaves(gx)
+    assert len(lk) == len(lx)
+    nonzero = 0
+    for a, b in zip(lk, lx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-11)
+        nonzero += int(np.any(np.asarray(b) != 0.0))
+    assert nonzero >= 7   # play, tlay, gases, 3x cloud, mu0, alb flow
+
+
+def test_sw_fused_kernel_vjp_auto_f32(setup):
+    """Auto dispatch for the SW fused adjoint kernel: shared pressure
+    grids + concrete pressures route the backward through the Pallas
+    adjoint by default, agreeing with the XLA backward to f32
+    independent-rounding tolerance."""
+    _, gas_sw, inp = setup
+    dtype = inp.play.dtype
+    cloud = tuple(v * jnp.ones((4, NLAY, NCOL), dtype)
+                  for v in (0.1, 0.6, 0.5))
+    mu0 = jnp.broadcast_to(jnp.asarray(inp.mu0, dtype)[None, :],
+                           (NLAY, NCOL))
+    alb = jnp.broadcast_to(inp.sfc_alb[:, 0][None, :], (32, NCOL))
+    loss_k, loss_x = _fused_sw_loss_fns(gas_sw, inp, 32, NCOL, NLAY)
+    args = (inp.play, inp.plev, inp.tlay, inp.gas_concs, cloud, mu0, alb)
+    gk = jax.grad(loss_k, argnums=(2, 3, 4, 5))(*args)
+    gx = jax.grad(loss_x, argnums=(2, 3, 4, 5))(*args)
     for a, b in zip(jax.tree_util.tree_leaves(gk),
                     jax.tree_util.tree_leaves(gx)):
         a, b = np.asarray(a), np.asarray(b)
