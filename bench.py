@@ -149,8 +149,18 @@ def _child_allsky_family(config):
         })
         # VPU cycle-budget model (the honest utilization number: the fused
         # kernels are VPU-bound, not bandwidth-bound — see
-        # docs/PERFORMANCE.md "cycle budget")
-        result.update(vpu_cycle_budget(ncol, nlay, t_min))
+        # docs/PERFORMANCE.md "cycle budget"). minor_active_frac: the
+        # kernels skip whole minor-gas groups on layers entirely on the
+        # other side of the tropopause; compute the profile's active
+        # fraction (synthetic kdists: 16 lower + 12 upper members,
+        # press_ref_trop = 9948 Pa — utils/synthetic.py)
+        import numpy as np
+        play_h = np.asarray(jax.device_get(inputs.play))
+        lo_any = (play_h > 9948.0).any(axis=0)        # per layer
+        up_any = (play_h <= 9948.0).any(axis=0)
+        frac = (16 * lo_any.mean() + 12 * up_any.mean()) / 28.0
+        result.update(vpu_cycle_budget(ncol, nlay, t_min,
+                                       minor_active_frac=float(frac)))
     _emit(result)
     print(f"# {config}: ncol={ncol} nlay={nlay} reps={reps} "
           f"t_min={t_min * 1e3:.2f} ms "

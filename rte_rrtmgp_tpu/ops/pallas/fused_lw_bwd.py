@@ -309,7 +309,6 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     # ---- source adjoint: pf_bar and the Planck temperature bars ----
     # (value-level scatter-add does not lower on Mosaic; every indexed
     # accumulation below is expressed as a static concatenate)
-    zrow = jnp.zeros((1, w, _BC), dtype)
     zlev = jnp.zeros((1, _BC), dtype)
     pb_lay_b = jnp.sum(lay_b * pf, axis=1)
     pb_lev_b = (jnp.concatenate([jnp.sum(levt_b * cat_top, axis=1), zlev],
