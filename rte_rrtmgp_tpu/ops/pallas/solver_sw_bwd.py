@@ -343,10 +343,15 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
     asym_b = asym_b - 0.75 * w0 * g1_b - 0.75 * w0 * g2_b
 
     # mu0s = max(min_mu0, mu0); plus the TOA beam seed mu0[:,0]
+    # (value-level .at[].add lowers via dynamic_update_slice, which
+    # Mosaic rejects — express the layer-0 seed as a static concat)
     mu0f_b = jnp.where(mu0 > min_mu0, mu0s_b, 0.0)
     mu0_red = jnp.sum(mu0f_b, axis=-1)               # (BC, nlay)
     seed = jnp.sum(Dir_b[:, 0, :] * inc_ref[:, :], axis=-1)
-    mu0_red = mu0_red.at[:, 0].add(seed)
+    nl = mu0_red.shape[1]
+    mu0_red = mu0_red + jnp.concatenate(
+        [seed[:, None], jnp.zeros((mu0_red.shape[0], nl - 1),
+                                  mu0_red.dtype)], axis=1)
 
     tau_b_ref[:, :, :] = tau_b
     ssa_b_ref[:, :, :] = w0_b

@@ -77,9 +77,10 @@ def main():
             set_use_pallas(None)
         return jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
 
-    run("lw", functools.partial(lw_loss, use_pallas=True),
+    guard("lw_solver", lambda: run(
+        "lw", functools.partial(lw_loss, use_pallas=True),
         functools.partial(lw_loss, use_pallas=False),
-        (tau, lay, lev, emis, ssrc))
+        (tau, lay, lev, emis, ssrc)))
 
     # SW (224 gpt)
     ngpt = int(os.environ.get("ADJ_NGPT_SW", "224"))
@@ -100,14 +101,28 @@ def main():
         return (jnp.sum(f.flux_up) + 0.5 * jnp.sum(f.flux_dn)
                 + 0.25 * jnp.sum(f.flux_dir))
 
-    run("sw", functools.partial(sw_loss, use_pallas=True),
+    guard("sw_solver", lambda: run(
+        "sw", functools.partial(sw_loss, use_pallas=True),
         functools.partial(sw_loss, use_pallas=False),
-        (tau, ssa, gg, mu0, alb))
+        (tau, ssa, gg, mu0, alb)))
 
     # ---- GRAND-FUSED path: gas optics + solve, forward vs the fused
     # adjoint kernels (ops/pallas/fused_lw_bwd.py / fused_sw_bwd.py) vs
     # the XLA-retrace backward (the round-3 behavior) ----
-    fused_allsky()
+    guard("fused_allsky", fused_allsky)
+
+
+def guard(name, fn):
+    """One section's compile/lowering failure must not kill the rest."""
+    import traceback
+    try:
+        fn()
+    except Exception as e:
+        print(f"# SECTION FAILED {name}: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200]}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc()
+        emit(measure=f"{name}_grad", error=f"{type(e).__name__}")
 
 
 def fused_allsky():
