@@ -24,6 +24,7 @@ __all__ = [
     "working_dtype",
     "checks_disabled",
     "on_tpu",
+    "pretend_tpu",
 ]
 
 
@@ -34,9 +35,36 @@ def on_tpu() -> bool:
     plugin backends are *not* misclassified as TPU: Mosaic kernels compile
     natively only on real TPU backends; everything else gets interpret
     mode or the XLA fallback.
+
+    ``pretend_tpu()`` overrides the probe for cross-platform LOWERING
+    tests: ``jax.export.export(..., platforms=["tpu"])`` runs the full
+    Mosaic lowering pipeline on any host, which catches
+    compiles-on-hardware bugs (e.g. value-level dynamic_slice in a
+    recurrence) that interpret-mode tests cannot — but only if the
+    dispatch sites choose ``interpret=False`` while tracing on CPU.
     """
+    if _PRETEND_TPU:
+        return True
     import jax
     return jax.default_backend() == "tpu"
+
+
+_PRETEND_TPU = False
+
+
+@contextmanager
+def pretend_tpu():
+    """Within the context, ``on_tpu()`` returns True regardless of the
+    backend, so Pallas dispatch sites trace compiled (non-interpret)
+    kernels. Use ONLY under ``jax.export`` / AOT lowering for platform
+    "tpu"; executing the traced computation on a non-TPU backend fails."""
+    global _PRETEND_TPU
+    prev = _PRETEND_TPU
+    _PRETEND_TPU = True
+    try:
+        yield
+    finally:
+        _PRETEND_TPU = prev
 
 
 @dataclasses.dataclass

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .major_gather import PSPAN
 from .minor_gather import _BC, _gather_rows
+from . import solver_lanes as _sl
 
 __all__ = ["lw_fused_gas_optics_solve"]
 
@@ -280,7 +281,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
                               + sdn_s[l, :, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, down, 0)
+    _sl._loop(nlay, down)
 
     emis = emis_ref[0, :, :]
     sfc_src = pf[nlay - 1, :, :] * planck_band(tsfc_ref[:, :])
@@ -292,7 +293,7 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
                           + sup_s[v, :, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, up, 0)
+    _sl._loop(nlay, up)
 
     bb_up = piw * jnp.sum(rup_s[:, :, :], axis=1)
     bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=1)

@@ -59,6 +59,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import solver_lanes as _sl
+
 from .minor_gather import _BC, _gather_rows
 
 __all__ = ["lw_fused_solve_kernel_vjp"]
@@ -217,8 +219,13 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
     pf_in = jnp.sqrt(pf[1:, :, :] * pf[:-1, :, :])
     cat_top = jnp.concatenate([pf[:1, :, :], pf_in], axis=0)
     cat_bot = jnp.concatenate([pf_in, pf[-1:, :, :]], axis=0)
-    lev_top = cat_top * pb_lev[:-1, None, :]
-    lev_bot = cat_bot * pb_lev[1:, None, :]
+    # reshape FIRST, slice second: the combined x[:-1, None, :] indexing
+    # lowers through lax.gather (with a constant start index), which the
+    # Mosaic gather rule rejects; x[:, None, :] then [:-1] stays a
+    # reshape + lax.slice (the forward kernel's pattern).
+    pb_lev3 = pb_lev[:, None, :]
+    lev_top = cat_top * pb_lev3[:-1]
+    lev_bot = cat_bot * pb_lev3[1:]
 
     tl = tau * ds
     trans = jnp.exp(-tl)
@@ -239,7 +246,7 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                               + sdnb_s[l, :, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, down, 0)
+    _sl._loop(nlay, down)
 
     emis = emis_ref[0, :, :]
     sfc_src = pf[nlay - 1, :, :] * pb_sfc
@@ -251,7 +258,7 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                           + supb_s[v, :, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, up, 0)
+    _sl._loop(nlay, up)
 
     # ---- transport adjoint (solver_lw_bwd.py derivation, layer-major) --
     def grow(ref, i):
@@ -266,7 +273,7 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         R_s[v + 1, :, :] = piw * grow(gup_ref, v + 1) + trans_s[v, :, :] * r
         return 0
 
-    jax.lax.fori_loop(0, nlay, a4, 0)
+    _sl._loop(nlay, a4)
 
     r_sfc = R_s[nlay, :, :]
     emis_b_ref[0, :, :] = r_sfc * (sfc_src - rdn_s[nlay, :, :])
@@ -282,7 +289,7 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         D_s[l, :, :] = piw * grow(gdn_ref, l) + trans_s[l, :, :] * d
         return 0
 
-    jax.lax.fori_loop(0, nlay, a2, 0)
+    _sl._loop(nlay, a2)
 
     inc_b_ref[0, :, :] = D_s[0, :, :] / piw
 
@@ -316,8 +323,8 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
                 + jnp.concatenate([zlev,
                                    jnp.sum(levb_b * cat_bot, axis=1)],
                                   axis=0))
-    cat_top_b = levt_b * pb_lev[:-1, None, :]
-    cat_bot_b = levb_b * pb_lev[1:, None, :]
+    cat_top_b = levt_b * pb_lev3[:-1]
+    cat_bot_b = levb_b * pb_lev3[1:]
     pf_in_b = cat_top_b[1:, :, :] + cat_bot_b[:-1, :, :]
     # d pf_in / d pf[l] = 0.5 * pf_in / pf[l]  (pf > 0 from the tables)
     dlo = pf_in_b * (0.5 * pf_in / jnp.maximum(pf[:-1, :, :], tiny))

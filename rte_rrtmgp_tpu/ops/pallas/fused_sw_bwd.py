@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import solver_lanes as _sl
+
 from .minor_gather import _BC, _gather_rows
 
 __all__ = ["sw_fused_solve_kernel_vjp"]
@@ -269,12 +271,15 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         dirlev[l + 1, :, :] = dirlev[l, :, :] * tns_s[l, :, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, down_dir, 0)
+    _sl._loop(nlay, down_dir)
 
     day = (mu0 > 0.0).astype(dtype)
-    sup_all = day * rdir * dirlev[:nlay, :, :]
-    sdn_all = day * tdir * dirlev[:nlay, :, :]
-    sdn_s[:, :, :] = sdn_all
+    # stage the direct-beam sources in scratch: up_build indexes layers
+    # with a traced loop variable, which Mosaic supports only on REFS
+    # (value-level x[v] lowers to dynamic_slice and is rejected).
+    # supb_s is free until A-U overwrites it per layer.
+    supb_s[:, :, :] = day * rdir * dirlev[:nlay, :, :]
+    sdn_s[:, :, :] = day * tdir * dirlev[:nlay, :, :]
 
     day_sfc = (mu0v[nlay - 1, :][None, :] > 0.0).astype(dtype)
     albdirv = albdir_ref[0, :, :]
@@ -290,12 +295,12 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         d = 1.0 / (1.0 - r * ab)
         den_s[v, :, :] = d
         alb_s[v, :, :] = r + td * td * ab * d
-        src_s[v, :, :] = (sup_all[v, :, :]
+        src_s[v, :, :] = (supb_s[v, :, :]
                           + td * d * (src_s[v + 1, :, :]
                                       + ab * sdn_s[v, :, :]))
         return 0
 
-    jax.lax.fori_loop(0, nlay, up_build, 0)
+    _sl._loop(nlay, up_build)
 
     fdn_s[0, :, :] = incdif_ref[0, :, :]
 
@@ -305,7 +310,7 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                               + sdn_s[v, :, :]) * den_s[v, :, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, dn_sweep, 0)
+    _sl._loop(nlay, dn_sweep)
 
     # ---- A-F: adjoint of the top-down flux sweep ----
     def grow(ref, i):
@@ -337,7 +342,7 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         Src_b[v, :, :] = grow(gup_ref, v)
         return 0
 
-    jax.lax.fori_loop(0, nlay, af, 0)
+    _sl._loop(nlay, af)
     incdif_b_ref[0, :, :] = Ff_s[0, :, :]
 
     # ---- A-U: adjoint of the bottom-up build ----
@@ -365,7 +370,7 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
         Alb_b[v + 1, :, :] += ab_acc
         return 0
 
-    jax.lax.fori_loop(0, nlay, au, 0)
+    _sl._loop(nlay, au)
 
     # ---- A-S: surface + sources -> beam, reverse beam sweep ----
     albdif_b_ref[0, :, :] = Alb_b[nlay, :, :]
@@ -386,7 +391,7 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
                           + taub_s[l, :, :] + tns_s[l, :, :] * Dh)
         return 0
 
-    jax.lax.fori_loop(0, nlay, ab_sweep, 0)
+    _sl._loop(nlay, ab_sweep)
     inc_b_ref[0, :, :] = Dir_b[0, :, :] * mu0v[0, :][None, :]
 
     # ---- A-C: Meador-Weaver/PIFM chain transposed (solver_sw_bwd.py) --

@@ -14,6 +14,7 @@ contribute exactly zero.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,25 @@ __all__ = ["lw_noscat_broadband_lanes", "lw_noscat_broadband_lanes_pfrac",
 
 _BG = 8      # g-point rows per block (sublanes)
 _BC = 128    # columns per block (lanes)
+
+# Unroll factor for the sequential per-layer transport recurrences. Each
+# iteration's body is a handful of VREG ops on a (w, 128) tile, so loop
+# control + scratch address arithmetic is a visible fraction of the solve
+# (448-512 grid steps x 2-3 recurrences x nlay iterations per launch).
+# Read once at import; experiments patch the module attribute before
+# tracing (scripts/bench_unroll.py). Default set by measurement — see
+# docs/PERFORMANCE.md "Recurrence unroll". Mosaic's fori_loop lowering
+# supports only unroll=1 or FULL unroll (unroll == num_steps), so the
+# knob is boolean in effect: 1 = rolled loop, anything else = fully
+# unrolled recurrence (loop control and scratch addressing become
+# static).
+UNROLL = int(os.environ.get("RTE_SOLVE_UNROLL", "1"))
+
+
+def _loop(nlay, body):
+    """Sequential per-layer recurrence: rolled or fully unrolled."""
+    jax.lax.fori_loop(0, nlay, body, 0,
+                      unroll=(nlay if UNROLL != 1 else 1))
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +95,7 @@ def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
                               + sdn_s[:, l, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, down, 0)
+    _loop(nlay, down)
 
     # surface reflection + emission
     emis = emis_ref[:, :]
@@ -98,7 +118,7 @@ def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
             jacw_s[:, v, :] = t * jacw_s[:, v + 1, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, up, 0)
+    _loop(nlay, up)
 
     # adjusted second downward sweep (reference lw_transport_1rescl)
     if do_rescaling:
@@ -110,7 +130,7 @@ def _lw_kernel(dsw_ref, tau_ref, ssa_ref, g_ref, lay_ref, lev_ref, emis_ref,
             rdn_s[:, l + 1, :] = t * rdn_s[:, l, :] + sdn_s[:, l, :] + adj
             return 0
 
-        jax.lax.fori_loop(0, nlay, down2, 0)
+        _loop(nlay, down2)
 
     # broadband: sum the block's g-point rows; accumulate over g blocks
     bb_up = piw * jnp.sum(rup_s[:, :, :], axis=0)
@@ -259,7 +279,7 @@ def _lw_pfrac_kernel(dsw_ref, tau_ref, cld_ref, pf_ref, pbl_ref, pbv_ref,
                               + sdn_s[:, l, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, down, 0)
+    _loop(nlay, down)
 
     # surface reflection + emission: sfc_src = pfrac(sfc) * B(tsfc)
     emis = emis_ref[:, :]
@@ -272,7 +292,7 @@ def _lw_pfrac_kernel(dsw_ref, tau_ref, cld_ref, pf_ref, pbl_ref, pbv_ref,
                           + sup_s[:, v, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, up, 0)
+    _loop(nlay, up)
 
     bb_up = piw * jnp.sum(rup_s[:, :, :], axis=0)
     bb_dn = piw * jnp.sum(rdn_s[:, :, :], axis=0)
@@ -424,7 +444,7 @@ def _sw_body_lm(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
         dirlev[l + 1, :, :] = dirlev[l, :, :] * tns_s[l, :, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, down_dir, 0)
+    _loop(nlay, down_dir)
 
     day = (mu0 > 0.0).astype(dtype)
     sup_s[:nlay, :, :] = day * rdir * dirlev[:nlay, :, :]
@@ -448,7 +468,7 @@ def _sw_body_lm(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
                                       + ab * sdn_s[v, :, :]))
         return 0
 
-    jax.lax.fori_loop(0, nlay, up_build, 0)
+    _loop(nlay, up_build)
 
     # top-down flux sweep (Eqs 12-13)
     fdn_s[0, :, :] = incdifv
@@ -462,7 +482,7 @@ def _sw_body_lm(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
         fup_s[v + 1, :, :] = f * alb_s[v + 1, :, :] + src_s[v + 1, :, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, dn_sweep, 0)
+    _loop(nlay, dn_sweep)
 
     # broadband: sum g-point rows; accumulate over g blocks (or, byband,
     # write this band's own output slice - used by the fused SW kernel)
@@ -540,7 +560,7 @@ def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
         dirlev[:, l + 1, :] = dirlev[:, l, :] * tns_s[:, l, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, down_dir, 0)
+    _loop(nlay, down_dir)
 
     day = (mu0 > 0.0).astype(dtype)
     sup_s[:, :, :] = day * rdir * dirlev[:, :-1, :]
@@ -564,7 +584,7 @@ def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
                                       + ab * sdn_s[:, v, :]))
         return 0
 
-    jax.lax.fori_loop(0, nlay, up_build, 0)
+    _loop(nlay, up_build)
 
     # top-down flux sweep (Eqs 12-13)
     fdn_s[:, 0, :] = incdifv
@@ -578,7 +598,7 @@ def _sw_body(t, w0, asym, mu0v, albdirv, albdifv, incv, incdifv,
         fup_s[:, v + 1, :] = f * alb_s[:, v + 1, :] + src_s[:, v + 1, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, dn_sweep, 0)
+    _loop(nlay, dn_sweep)
 
     # broadband: sum g-point rows; accumulate over g blocks (or, byband,
     # write this band's own output slice - used by the fused SW kernel)

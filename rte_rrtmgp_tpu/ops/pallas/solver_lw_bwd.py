@@ -56,6 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import solver_lanes as _sl
+
 from .solver_lw_kernel import _BCOL, _BGPT, lw_noscat_broadband_lane
 
 __all__ = ["lw_noscat_broadband_lane_vjp"]
@@ -99,7 +101,7 @@ def _lw_bwd_kernel(dsw_ref, tau_ref, lay_ref, lev_ref, emis_ref,
                               + sdn_s[:, l, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, down, 0)
+    _sl._loop(nlay, down)
 
     emis = emis_ref[:, :]
     rup_s[:, nlay, :] = (rdn_s[:, nlay, :] * (1.0 - emis)
@@ -111,7 +113,7 @@ def _lw_bwd_kernel(dsw_ref, tau_ref, lay_ref, lev_ref, emis_ref,
                           + sup_s[:, v, :])
         return 0
 
-    jax.lax.fori_loop(0, nlay, up, 0)
+    _sl._loop(nlay, up)
 
     # ---- adjoint ----
     # A4: downward sweep with carry R (rup's adjoint). trans_bar
@@ -128,7 +130,7 @@ def _lw_bwd_kernel(dsw_ref, tau_ref, lay_ref, lev_ref, emis_ref,
                             + trans_s[:, v, :] * r)
         return 0
 
-    jax.lax.fori_loop(0, nlay, a4, 0)
+    _sl._loop(nlay, a4)
 
     # A3: surface
     r_sfc = R_s[:, nlay, :]
@@ -148,7 +150,7 @@ def _lw_bwd_kernel(dsw_ref, tau_ref, lay_ref, lev_ref, emis_ref,
         D_s[:, l, :] = piw * brow(gdn_ref, l) + trans_s[:, l, :] * d
         return 0
 
-    jax.lax.fori_loop(0, nlay, a2, 0)
+    _sl._loop(nlay, a2)
 
     inc_b_ref[:, :] = D_s[:, 0, :] / piw
 

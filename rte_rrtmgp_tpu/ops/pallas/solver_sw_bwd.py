@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import solver_lanes as _sl
+
 from .solver_sw_kernel import _BCOL, _BGPT, sw_two_stream_broadband_lane
 
 __all__ = ["sw_two_stream_broadband_lane_vjp"]
@@ -117,12 +119,15 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         dirlev[:, l + 1, :] = dirlev[:, l, :] * tns_s[:, l, :]
         return 0
 
-    jax.lax.fori_loop(0, nlay, down_dir, 0)
+    _sl._loop(nlay, down_dir)
 
     day = (mu0 > 0.0).astype(dtype)
-    sup_all = day * rdir * dirlev[:, :-1, :]
-    sdn_all = day * tdir * dirlev[:, :-1, :]
-    sdn_s[:, :, :] = sdn_all
+    # stage the direct-beam sources in scratch: the recurrences below
+    # index layers with a traced loop variable, which Mosaic supports
+    # only on REFS (a value-level x[:, v, :] lowers to dynamic_slice and
+    # is rejected). sup_b is free until A-U overwrites it per layer.
+    sup_b[:, :, :] = day * rdir * dirlev[:, :-1, :]
+    sdn_s[:, :, :] = day * tdir * dirlev[:, :-1, :]
 
     day_sfc = (mu0_ref[:, nlay - 1][:, None] > 0.0).astype(dtype)
     alb_s[:, nlay, :] = albdif_ref[:, :]
@@ -136,12 +141,12 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         d = 1.0 / (1.0 - r * ab)
         den_s[:, v, :] = d
         alb_s[:, v, :] = r + td * td * ab * d
-        src_s[:, v, :] = (sup_all[:, v, :]
+        src_s[:, v, :] = (sup_b[:, v, :]
                           + td * d * (src_s[:, v + 1, :]
                                       + ab * sdn_s[:, v, :]))
         return 0
 
-    jax.lax.fori_loop(0, nlay, up_build, 0)
+    _sl._loop(nlay, up_build)
 
     fdn_s[:, 0, :] = incdif_ref[:, :]
 
@@ -152,7 +157,7 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         fdn_s[:, v + 1, :] = f
         return 0
 
-    jax.lax.fori_loop(0, nlay, dn_sweep, 0)
+    _sl._loop(nlay, dn_sweep)
 
     # ---- A-F: adjoint of the top-down flux sweep ----
     # fup[v] = fdn[v]*alb[v] + src[v]  (terminal); fdn recurrence carries
@@ -188,7 +193,7 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         Src_b[:, v, :] = brow(gup_ref, v)
         return 0
 
-    jax.lax.fori_loop(0, nlay, af, 0)
+    _sl._loop(nlay, af)
     incdif_b_ref[:, :] = Ff_s[:, 0, :]
 
     # ---- A-U: adjoint of the bottom-up build (forward/downward order;
@@ -221,7 +226,7 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         Alb_b[:, v + 1, :] += ab_acc
         return 0
 
-    jax.lax.fori_loop(0, nlay, au, 0)
+    _sl._loop(nlay, au)
 
     # ---- A-S: surface + sources -> beam, then the reverse beam sweep --
     albdif_b_ref[:, :] = Alb_b[:, nlay, :]
@@ -234,8 +239,11 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
     rdir_b = sup_b[:, :, :] * day * dirlev[:, :-1, :]
     tdir_b = sdn_b[:, :, :] * day * dirlev[:, :-1, :]
     # the source terms' dirlev cotangent (levels 0..nlay-1), hoisted out
-    # of the sweep; sup_b/sdn_b are final here
-    dl_src = day * (rdir * sup_b[:, :, :] + tdir * sdn_b[:, :, :])
+    # of the sweep; sup_b/sdn_b are final here. Staged in the alb_s
+    # scratch (free after A-U) so the sweep's per-layer read is a REF
+    # load, not a value-level dynamic_slice (Mosaic rejects the latter).
+    alb_s[:, :nlay, :] = day * (rdir * sup_b[:, :, :]
+                                + tdir * sdn_b[:, :, :])
 
     def ab_sweep(i, _):
         l = nlay - 1 - i
@@ -243,10 +251,10 @@ def _sw_bwd_kernel(tau_ref, ssa_ref, g_ref, mu0_ref, albdir_ref,
         # tns_bar stored via tau_b_ref as staging (converted in A-C)
         tau_b_ref[:, l, :] = dirlev[:, l, :] * Dh      # tns_bar[l]
         Dir_b[:, l, :] = (brow(gdn_ref, l) + brow(gdir_ref, l)
-                          + dl_src[:, l, :] + tns_s[:, l, :] * Dh)
+                          + alb_s[:, l, :] + tns_s[:, l, :] * Dh)
         return 0
 
-    jax.lax.fori_loop(0, nlay, ab_sweep, 0)
+    _sl._loop(nlay, ab_sweep)
     inc_b_ref[:, :] = Dir_b[:, 0, :] * mu0_ref[:, 0][:, None]
 
     # ---- A-C: the Meador-Weaver/PIFM coefficient chain, transposed ----

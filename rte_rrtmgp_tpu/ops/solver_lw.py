@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -247,6 +248,17 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
     if not do_rescaling:
         ssa = g = None
 
+    # STATIC per-angle secants (Python/numpy scalars, the common case):
+    # extracted from the original argument BEFORE array conversion. Under
+    # jax.export cross-platform tracing (and the jax.enable_x64 context
+    # manager) even jnp.asarray of constants is staged as a tracer, so a
+    # post-conversion isinstance(..., Tracer) test would wrongly disable
+    # the static-secant adjoint-kernel branch below.
+    static_ds = None
+    if (not isinstance(ds, (jax.Array, jax.core.Tracer))
+            and np.ndim(ds) == 1):
+        static_ds = tuple(float(x) for x in np.asarray(ds))
+
     ds_arr = jnp.asarray(ds, dtype=dtype)
     scalar_ds = ds_arr.ndim == 1
 
@@ -310,14 +322,13 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
             # kernel: BOTH directions run as Pallas kernels, no XLA
             # retrace on the backward pass (ops/pallas/solver_lw_bwd.py)
             if (not do_rescaling and not do_jacobians
-                    and byband_width is None and scalar_ds
-                    and len(weights) == 1
-                    and not isinstance(ds_arr, jax.core.Tracer)):
+                    and byband_width is None and static_ds is not None
+                    and len(weights) == 1):
                 from .pallas.solver_lw_bwd import (
                     lw_noscat_broadband_lane_vjp)
                 up, dn = lw_noscat_broadband_lane_vjp(
                     tau, lay_source, lev_source, sfc_emis, sfc_src,
-                    inc_flux, float(ds_arr[0]), float(weights[0]),
+                    inc_flux, static_ds[0], float(weights[0]),
                     not on_tpu)
                 if not top_at_1:
                     up = jnp.flip(up, axis=1)
