@@ -33,13 +33,16 @@ _BC = 128    # columns per block (lanes)
 # control + scratch address arithmetic is a visible fraction of the solve
 # (448-512 grid steps x 2-3 recurrences x nlay iterations per launch).
 # Read once at import; experiments patch the module attribute before
-# tracing (scripts/bench_unroll.py). Default set by measurement — see
-# docs/PERFORMANCE.md "Recurrence unroll". Mosaic's fori_loop lowering
+# tracing (scripts/bench_unroll.py). Mosaic's fori_loop lowering
 # supports only unroll=1 or FULL unroll (unroll == num_steps), so the
 # knob is boolean in effect: 1 = rolled loop, anything else = fully
 # unrolled recurrence (loop control and scratch addressing become
-# static).
-UNROLL = int(os.environ.get("RTE_SOLVE_UNROLL", "1"))
+# static). Default: FULL — measured on the chip at 4096x72 it is
+# bitwise identical and saves 5.4% (SW) / 7.8% (LW) of the fused
+# launches (docs/PERFORMANCE.md "Recurrence unroll", 2026-08-20).
+# Set RTE_SOLVE_UNROLL=1 to roll the loops back (e.g. to bound Mosaic
+# compile time at very large nlay).
+UNROLL = int(os.environ.get("RTE_SOLVE_UNROLL", "0"))
 
 
 def _loop(nlay, body):
