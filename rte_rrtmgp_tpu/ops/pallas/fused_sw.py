@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_minors import minor_pass
 from .major_gather import PSPAN
 from .minor_gather import _BC, _gather_rows
 from .solver_lanes import _sw_body_lm
@@ -218,54 +219,19 @@ def _fused_sw_kernel(flav_ref, jpin_ref, fpin_ref, desc_ref, msc_ref,
 
     jax.lax.fori_loop(0, nlay, build_layer, 0)
 
-    # ---- minors: predicated per band (static g-point slices); members
-    # are grouped by atmosphere so a layer entirely on the other side of
-    # the tropopause (tcode from SMEM) skips the group's gathers — its
-    # scaling row is identically zero there (reference layer-range
-    # masking, kernels :402-501), so the skip is exact. Saves ~half the
-    # minor gather rows on typical profiles. ----
+    # ---- minors: predicated per band (static g-point slices); the
+    # accumulation structure lives in fused_minors.minor_pass (shared
+    # with the LW kernel; mode-selectable — see its docstring) ----
     for bi in range(len(band_minors)):
+        members = band_minors[bi]
+        if not members:
+            continue
+
         @pl.when(b == bi)
-        def _(bi=bi):
-            members = band_minors[bi]
-
-            def minor_group(group, l):
-                for (lower, f, mg, start, lg0, wm) in group:
-                    ncont = (ncont_lo if lower
-                             else mtab_up_ref.shape[0] // 2)
-                    tref = mtab_lo_ref if lower else mtab_up_ref
-                    scal = msc_ref[mg, l, :][None, :]
-                    kk = jnp.zeros((wm, _BC), dtype)
-                    for it in range(2):
-                        rr = desc_ref[TR0 + 2 * f + it, l, :
-                                      ].astype(jnp.int32)
-                        fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
-                        ftv = desc_ref[3 + it, l, :][None, :]
-                        fm0 = (1.0 - fe) * ftv
-                        fm1 = fe * ftv
-                        lo = _gather_rows(tref[start:start + wm, :], rr)
-                        hi = _gather_rows(
-                            tref[ncont + start:ncont + start + wm, :],
-                            rr)
-                        kk = kk + fm0 * lo + fm1 * hi
-                    tau_s[l, lg0:lg0 + wm, :] += scal * kk
-
-            lo_mem = tuple(m for m in members if m[0])
-            up_mem = tuple(m for m in members if not m[0])
-            if members:
-                def minor_layer(l, _):
-                    tc = jpin_ref[0, 2, l]
-                    if lo_mem:
-                        @pl.when(tc != 2)      # some lanes below tropopause
-                        def _():
-                            minor_group(lo_mem, l)
-                    if up_mem:
-                        @pl.when(tc != 1)      # some lanes above
-                        def _():
-                            minor_group(up_mem, l)
-                    return 0
-
-                jax.lax.fori_loop(0, nlay, minor_layer, 0)
+        def _(members=members):
+            minor_pass(tau_s, desc_ref, msc_ref, mtab_lo_ref, mtab_up_ref,
+                       jpin_ref, members, nlay=nlay, w=w,
+                       ncont_lo=ncont_lo, TR0=TR0, FE0=FE0, dtype=dtype)
 
     # ---- combine_abs_and_rayleigh + cloud increment (as in the SW
     # mega-kernel) ---- all fields (nlay, w, _BC)

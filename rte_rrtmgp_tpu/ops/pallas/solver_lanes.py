@@ -32,23 +32,34 @@ _BC = 128    # columns per block (lanes)
 # iteration's body is a handful of VREG ops on a (w, 128) tile, so loop
 # control + scratch address arithmetic is a visible fraction of the solve
 # (448-512 grid steps x 2-3 recurrences x nlay iterations per launch).
-# Read once at import; experiments patch the module attribute before
-# tracing (scripts/bench_unroll.py). Mosaic's fori_loop lowering
-# supports only unroll=1 or FULL unroll (unroll == num_steps), so the
-# knob is boolean in effect: 1 = rolled loop, anything else = fully
-# unrolled recurrence (loop control and scratch addressing become
-# static). Default: FULL — measured on the chip at 4096x72 it is
-# bitwise identical and saves 5.4% (SW) / 7.8% (LW) of the fused
-# launches (docs/PERFORMANCE.md "Recurrence unroll", 2026-08-20).
-# Set RTE_SOLVE_UNROLL=1 to roll the loops back (e.g. to bound Mosaic
-# compile time at very large nlay).
-UNROLL = int(os.environ.get("RTE_SOLVE_UNROLL", "0"))
+# Mosaic's fori_loop lowering supports only unroll=1 or FULL unroll
+# (unroll == num_steps), so the knob is boolean in effect: 1 = rolled
+# loop, anything else = fully unrolled recurrence (loop control and
+# scratch addressing become static). Default: FULL — measured on the
+# chip at 4096x72 it is bitwise identical and saves 5.4% (SW) / 7.8%
+# (LW) of the fused launches (docs/PERFORMANCE.md "Recurrence unroll",
+# 2026-08-20). Set RTE_SOLVE_UNROLL=1 (read at TRACE time, so exporting
+# it after import still works) or call set_unroll(1) to roll the loops
+# back. Grids deeper than UNROLL_MAX_NLAY auto-roll to bound Mosaic
+# compile time (full unroll grows it linearly with nlay).
+UNROLL = None  # None = read RTE_SOLVE_UNROLL at trace time (default FULL)
+UNROLL_MAX_NLAY = int(os.environ.get("RTE_SOLVE_UNROLL_MAX_NLAY", "512"))
+
+
+def set_unroll(value):
+    """Override recurrence unrolling: 1 = rolled, 0/None-like = full,
+    None = defer to the RTE_SOLVE_UNROLL env var at trace time."""
+    global UNROLL
+    UNROLL = value
 
 
 def _loop(nlay, body):
     """Sequential per-layer recurrence: rolled or fully unrolled."""
-    jax.lax.fori_loop(0, nlay, body, 0,
-                      unroll=(nlay if UNROLL != 1 else 1))
+    u = UNROLL
+    if u is None:
+        u = int(os.environ.get("RTE_SOLVE_UNROLL", "0"))
+    full = u != 1 and nlay <= UNROLL_MAX_NLAY
+    jax.lax.fori_loop(0, nlay, body, 0, unroll=(nlay if full else 1))
 
 
 # ---------------------------------------------------------------------------

@@ -220,6 +220,11 @@ def _lw_bwd_lane(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
         scratch_shapes=[scratch3(nlay), scratch3(nlay), scratch3(nlay),
                         scratch3(nlev), scratch3(nlev), scratch3(nlev),
                         scratch3(nlev)],
+        # 13 (16, nlay, 128) blocks + double-buffered operands exceed the
+        # 16 MB default scoped-VMEM limit at production nlay (measured
+        # 33.2 MB at 4096x72x256 on the chip)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dsw, pad3(tau), pad3(lay_source), pad3(lev_source), pad2(sfc_emis),
       pad2(sfc_src), pad2(inc_flux), padc(g_up), padc(g_dn))

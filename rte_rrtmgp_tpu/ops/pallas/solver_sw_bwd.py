@@ -413,6 +413,12 @@ def _sw_bwd_lane(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif, inc_flux_dir,
                         scratch3(nlev), scratch3(nlev), scratch3(nlev),
                         scratch3(nlay), scratch3(nlay), scratch3(nlay),
                         scratch3(nlay), scratch3(nlev)],
+        # 23 (16, nlay, 128) blocks + double-buffered operands + the
+        # fully-unrolled recurrences' stack exceed the 16 MB default
+        # scoped-VMEM limit at production nlay (measured 77.3 MB at
+        # 4096x72x224 on the chip with full unroll)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pad3(tau), pad3(ssa), pad3(g),
       jnp.pad(mu0, ((0, pc), (0, 0)), mode="edge"),

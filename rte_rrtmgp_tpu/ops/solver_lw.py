@@ -248,16 +248,26 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
     if not do_rescaling:
         ssa = g = None
 
-    # STATIC per-angle secants (Python/numpy scalars, the common case):
-    # extracted from the original argument BEFORE array conversion. Under
-    # jax.export cross-platform tracing (and the jax.enable_x64 context
-    # manager) even jnp.asarray of constants is staged as a tracer, so a
-    # post-conversion isinstance(..., Tracer) test would wrongly disable
-    # the static-secant adjoint-kernel branch below.
+    # STATIC per-angle secants (Python/numpy scalars, or a CONCRETE
+    # jax.Array — anything whose values are known at trace time):
+    # extracted from the original argument BEFORE jnp.asarray conversion.
+    # Under jax.export cross-platform tracing (and the jax.enable_x64
+    # context manager) even jnp.asarray of constants is staged as a
+    # tracer, so a post-conversion isinstance(..., Tracer) test would
+    # wrongly disable the static-secant adjoint-kernel branch below.
+    # The try/except covers every non-concrete form in one place: a
+    # Tracer argument, a tuple/list containing traced scalars (e.g.
+    # differentiating w.r.t. the secant under jit), or anything else
+    # numpy cannot concretize.
     static_ds = None
-    if (not isinstance(ds, (jax.Array, jax.core.Tracer))
-            and np.ndim(ds) == 1):
-        static_ds = tuple(float(x) for x in np.asarray(ds))
+    if not isinstance(ds, jax.core.Tracer):
+        try:
+            ds_np = np.asarray(ds)
+            if ds_np.ndim == 1:
+                static_ds = tuple(float(x) for x in ds_np)
+        except (TypeError, ValueError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            static_ds = None
 
     ds_arr = jnp.asarray(ds, dtype=dtype)
     scalar_ds = ds_arr.ndim == 1

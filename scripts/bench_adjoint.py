@@ -42,17 +42,34 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def _phase(result, key, fn):
+    """Time one phase; record an error marker instead of dying (a compile
+    OOM in one phase must not discard the others' measurements)."""
+    import traceback
+    try:
+        result[key] = round(fn() * 1e3, 2)
+    except Exception as e:
+        print(f"# phase {key} failed: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:160]}", file=sys.stderr, flush=True)
+        traceback.print_exc()
+        result[key] = f"error:{type(e).__name__}"
+
+
 def run(name, loss_pallas, loss_xla, args):
-    fwd = jax.jit(loss_pallas)
-    t_f = timeit(fwd, *args, reps=REPS, inner=INNER)
-    g_k = jax.jit(jax.grad(loss_pallas, argnums=tuple(range(len(args)))))
-    t_k = timeit(g_k, *args, reps=REPS, inner=INNER)
-    g_x = jax.jit(jax.grad(loss_xla, argnums=tuple(range(len(args)))))
-    t_x = timeit(g_x, *args, reps=REPS, inner=max(1, INNER // 2))
-    emit(measure=f"{name}_solver_grad", forward_ms=round(t_f * 1e3, 2),
-         adjoint_kernel_bwd_ms=round(t_k * 1e3, 2),
-         xla_retrace_bwd_ms=round(t_x * 1e3, 2),
-         speedup=round(t_x / t_k, 2))
+    r = {"measure": f"{name}_solver_grad"}
+    argn = tuple(range(len(args)))
+    _phase(r, "forward_ms", lambda: timeit(
+        jax.jit(loss_pallas), *args, reps=REPS, inner=INNER))
+    _phase(r, "adjoint_kernel_bwd_ms", lambda: timeit(
+        jax.jit(jax.grad(loss_pallas, argnums=argn)), *args,
+        reps=REPS, inner=INNER))
+    _phase(r, "xla_retrace_bwd_ms", lambda: timeit(
+        jax.jit(jax.grad(loss_xla, argnums=argn)), *args,
+        reps=REPS, inner=max(1, INNER // 2)))
+    tk, tx = r.get("adjoint_kernel_bwd_ms"), r.get("xla_retrace_bwd_ms")
+    if isinstance(tk, float) and isinstance(tx, float):
+        r["speedup"] = round(tx / tk, 2)
+    emit(**r)
 
 
 def main():
@@ -156,25 +173,65 @@ def fused_allsky():
                 + jnp.sum(fsw.flux_dn))
 
     args = (inp.tlay, inp.lwp)
+    r = {"measure": "fused_allsky_grad", "ncol": NCOL, "nlay": NLAY}
     set_use_pallas(True)
     try:
-        fwd = jax.jit(loss)
-        t_f = timeit(fwd, *args, reps=REPS, inner=INNER)
+        _phase(r, "forward_ms", lambda: timeit(
+            jax.jit(loss), *args, reps=REPS, inner=INNER))
         set_fused_adjoint(True)       # the Pallas adjoint kernels
-        gk = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        t_k = timeit(gk, *args, reps=REPS, inner=INNER)
+        _phase(r, "adjoint_kernel_bwd_ms", lambda: timeit(
+            jax.jit(jax.grad(loss, argnums=(0, 1))), *args,
+            reps=REPS, inner=INNER))
         set_fused_adjoint(False)      # the XLA-retrace backward
-        gx = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        t_x = timeit(gx, *args, reps=REPS, inner=max(1, INNER // 2))
+        _phase(r, "xla_retrace_bwd_ms", lambda: timeit(
+            jax.jit(jax.grad(loss, argnums=(0, 1))), *args,
+            reps=REPS, inner=max(1, INNER // 2)))
     finally:
         set_use_pallas(None)
         set_fused_adjoint(None)
-    emit(measure="fused_allsky_grad", ncol=NCOL, nlay=NLAY,
-         forward_ms=round(t_f * 1e3, 2),
-         adjoint_kernel_bwd_ms=round(t_k * 1e3, 2),
-         xla_retrace_bwd_ms=round(t_x * 1e3, 2),
-         bwd_over_fwd=round(t_k / t_f, 2),
-         speedup_vs_xla=round(t_x / t_k, 2))
+    tf, tk = r.get("forward_ms"), r.get("adjoint_kernel_bwd_ms")
+    tx = r.get("xla_retrace_bwd_ms")
+    if isinstance(tk, float) and isinstance(tf, float):
+        r["bwd_over_fwd"] = round(tk / tf, 2)
+    if isinstance(tk, float) and isinstance(tx, float):
+        r["speedup_vs_xla"] = round(tx / tk, 2)
+    emit(**r)
+    # the XLA-retrace backward materializes the spectral intermediates in
+    # HBM and can OOM at production ncol (22.1 GB needed vs 15.75 GB at
+    # 4096x72 on v5e, measured 2026-08-20) — when it does, re-measure it
+    # at a reduced column count so the comparison still lands
+    if not isinstance(tx, float):
+        ncol_s = max(512, NCOL // 4)
+        inp_s = make_allsky_inputs(ncol_s, NLAY, cloud_optics=cld_lw)
+        args_s = (inp_s.tlay, inp_s.lwp)
+
+        def loss_s(tlay, lwp):
+            i = inp_s._replace(tlay=tlay, lwp=lwp)
+            flw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
+            fsw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
+            return (jnp.sum(flw.flux_net) + jnp.sum(fsw.flux_up)
+                    + jnp.sum(fsw.flux_dn))
+
+        rs = {"measure": "fused_allsky_grad_reduced", "ncol": ncol_s,
+              "nlay": NLAY}
+        set_use_pallas(True)
+        try:
+            set_fused_adjoint(True)
+            _phase(rs, "adjoint_kernel_bwd_ms", lambda: timeit(
+                jax.jit(jax.grad(loss_s, argnums=(0, 1))), *args_s,
+                reps=REPS, inner=INNER))
+            set_fused_adjoint(False)
+            _phase(rs, "xla_retrace_bwd_ms", lambda: timeit(
+                jax.jit(jax.grad(loss_s, argnums=(0, 1))), *args_s,
+                reps=REPS, inner=max(1, INNER // 2)))
+        finally:
+            set_use_pallas(None)
+            set_fused_adjoint(None)
+        tk, tx = (rs.get("adjoint_kernel_bwd_ms"),
+                  rs.get("xla_retrace_bwd_ms"))
+        if isinstance(tk, float) and isinstance(tx, float):
+            rs["speedup_vs_xla"] = round(tx / tk, 2)
+        emit(**rs)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,142 @@
+"""Round-5 regression tests: the advisor's secant-handling findings and
+the shared minor-gas accumulation pass (ops/pallas/fused_minors.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rte_rrtmgp_tpu.config import set_use_pallas
+from rte_rrtmgp_tpu.models.rrtmgp.gas_optics import GasOpticsRRTMGP
+from rte_rrtmgp_tpu.ops.pallas import fused_minors
+from rte_rrtmgp_tpu.utils.synthetic import (synthetic_cloud_optics,
+                                            synthetic_kdist)
+
+
+def _lw_problem(ncol=4, nlay=6, ngpt=16, seed=3):
+    rng = np.random.default_rng(seed)
+    f32 = jnp.float32
+    return dict(
+        tau=jnp.asarray(rng.uniform(0.05, 2.0, (ncol, nlay, ngpt)), f32),
+        lay=jnp.asarray(rng.uniform(5.0, 20.0, (ncol, nlay, ngpt)), f32),
+        lev=jnp.asarray(rng.uniform(5.0, 20.0, (ncol, nlay + 1, ngpt)), f32),
+        emis=jnp.full((ncol, ngpt), 0.95, f32),
+        ssrc=jnp.asarray(rng.uniform(10.0, 30.0, (ncol, ngpt)), f32),
+        inc=jnp.zeros((ncol, ngpt), f32))
+
+
+def test_grad_wrt_traced_secant():
+    """Differentiating w.r.t. the diffusivity secant passes a tuple
+    containing a TRACED scalar as ds; static extraction must fall back to
+    the traced path instead of raising ConcretizationTypeError
+    (ADVICE round 4, ops/solver_lw.py static_ds extraction)."""
+    from rte_rrtmgp_tpu.ops.solver_lw import lw_solver_noscat
+
+    p = _lw_problem()
+
+    def loss(ds_scalar):
+        f = lw_solver_noscat(p["tau"], p["lay"], p["lev"], p["emis"],
+                             p["ssrc"], p["inc"], top_at_1=True,
+                             ds=(ds_scalar,), weights=(0.5,))
+        return jnp.sum(f.flux_up)
+
+    g = jax.jit(jax.grad(loss))(jnp.float32(1.66))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    # finite-difference cross-check
+    eps = 1e-2
+    fd = (loss(jnp.float32(1.66 + eps)) - loss(jnp.float32(1.66 - eps))) \
+        / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-2)
+
+
+def test_concrete_array_secant_matches_tuple():
+    """A CONCRETE 1-D jax.Array ds must take the same static-secant path
+    as a Python tuple (ADVICE round 4: isinstance(ds, jax.Array) silently
+    downgraded it to the XLA-retrace backward)."""
+    from rte_rrtmgp_tpu.ops.solver_lw import lw_solver_noscat
+
+    p = _lw_problem(seed=5)
+    kw = dict(top_at_1=True, weights=(0.5,))
+    f_tuple = lw_solver_noscat(p["tau"], p["lay"], p["lev"], p["emis"],
+                               p["ssrc"], p["inc"], ds=(1.66,), **kw)
+    f_array = lw_solver_noscat(p["tau"], p["lay"], p["lev"], p["emis"],
+                               p["ssrc"], p["inc"],
+                               ds=jnp.asarray([1.66], jnp.float32), **kw)
+    np.testing.assert_array_equal(np.asarray(f_tuple.flux_up),
+                                  np.asarray(f_array.flux_up))
+    np.testing.assert_array_equal(np.asarray(f_tuple.flux_dn),
+                                  np.asarray(f_array.flux_dn))
+
+
+def test_unroll_env_read_at_trace_time(monkeypatch):
+    """RTE_SOLVE_UNROLL is read when the kernel is TRACED, not at module
+    import (ADVICE round 4); deep grids auto-roll past UNROLL_MAX_NLAY."""
+    from rte_rrtmgp_tpu.ops.pallas import solver_lanes
+
+    calls = []
+    real = jax.lax.fori_loop
+
+    def spy(lo, hi, body, init, unroll=None):
+        calls.append(unroll)
+        return real(lo, hi, body, init, unroll=unroll)
+
+    monkeypatch.setattr(jax.lax, "fori_loop", spy)
+    monkeypatch.setenv("RTE_SOLVE_UNROLL", "1")
+    solver_lanes._loop(8, lambda l, c: c)
+    assert calls[-1] == 1
+    monkeypatch.setenv("RTE_SOLVE_UNROLL", "0")
+    solver_lanes._loop(8, lambda l, c: c)
+    assert calls[-1] == 8
+    # auto-roll above the compile-time bound
+    monkeypatch.setattr(solver_lanes, "UNROLL_MAX_NLAY", 4)
+    solver_lanes._loop(8, lambda l, c: c)
+    assert calls[-1] == 1
+    # module attribute overrides the env
+    monkeypatch.setattr(solver_lanes, "UNROLL_MAX_NLAY", 512)
+    monkeypatch.setattr(solver_lanes, "UNROLL", 1)
+    solver_lanes._loop(8, lambda l, c: c)
+    assert calls[-1] == 1
+
+
+@pytest.mark.parametrize("sw", [False, True])
+def test_minor_modes_equivalent(sw):
+    """The three minor-accumulation lowerings (rmw / vreg / flat) are the
+    same numerics (exactness argument in fused_minors.py: scaling rows
+    are zero off-atmosphere); outputs agree to f32 reordering."""
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw_lanes,
+                                               allsky_step_sw_lanes,
+                                               make_allsky_inputs)
+
+    kd = synthetic_kdist(sw=sw, ngpt=32, nbnd=4, ntemp=6, npres=12)
+    gop = GasOpticsRRTMGP(kd)
+    cld = synthetic_cloud_optics(nbnd=4,
+                                 band_lims_wvn=kd.grid.band_lims_wvn_array)
+    inputs = make_allsky_inputs(128, 4, cloud_optics=cld)
+    fused_fn = allsky_step_sw_lanes if sw else allsky_step_lw_lanes
+
+    outs = {}
+    set_use_pallas(True)
+    try:
+        for mode in ("rmw", "vreg", "flat", "rmw_u"):
+            fused_minors.set_mode(mode)
+            try:
+                outs[mode] = fused_fn(inputs, gop, cloud_optics=cld,
+                                      use_clouds=True)
+            finally:
+                fused_minors.set_mode(None)
+            assert outs[mode] is not None
+    finally:
+        set_use_pallas(None)
+
+    ref = outs["rmw"]
+    for mode in ("vreg", "flat", "rmw_u"):
+        for name in ("flux_up", "flux_dn"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[mode], name)),
+                np.asarray(getattr(ref, name)), rtol=1e-5, atol=1e-4,
+                err_msg=f"mode={mode} {name} sw={sw}")
+
+
+def test_minor_mode_rejects_unknown(monkeypatch):
+    monkeypatch.setenv("RTE_MINOR_MODE", "bogus")
+    with pytest.raises(ValueError, match="minor accumulation mode"):
+        fused_minors._resolve_mode()
