@@ -228,6 +228,31 @@ def _child_rfmip():
     print(f"# rfmip: ncol={ncol} nlay={nlay} t_min={t_min * 1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
+    # Device-rate line: the same driver dispatch chained with ONE force
+    # per window — the chip's RFMIP throughput with the axon tunnel's
+    # fixed ~25-30 ms readback round trip amortized (the line above
+    # pays it per step; scripts/bench_rfmip_decompose.py separates the
+    # components). On a co-located host the first line converges to
+    # this one.
+    def rf_chain(inner):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(inner):
+            out = rfmip_lw_sw(data, g_lw, g_sw, device_out=True)
+        np.asarray(jax.device_get(out.ravel()[-1:]))
+        return (time.perf_counter() - t0) / inner
+    rf_chain(1)
+    tc = min(rf_chain(inner) for _ in range(reps))
+    _emit({
+        "metric": f"columns/s/chip (RFMIP {ncol}x{nlay} clear-sky LW+SW, "
+                  f"256/224 gpt, device-chained driver dispatch)",
+        "value": round(ncol / tc, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(ncol / tc / 1.0e6, 4),
+    })
+    print(f"# rfmip chained: t={tc * 1e3:.2f} ms", file=sys.stderr,
+          flush=True)
+
 
 def _child_podscale():
     """The pod-scale configuration (BASELINE.md: all-sky scaled to 10M
