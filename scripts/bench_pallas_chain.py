@@ -11,15 +11,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 from bench_fused_variants import build_lw_kernel_inputs
 from rte_rrtmgp_tpu.ops.pallas.fused_lw import lw_fused_gas_optics_solve
 
-arrays, static = build_lw_kernel_inputs()
+arrays, static, static_new = build_lw_kernel_inputs()
 arrays = {k: jax.device_put(v) if hasattr(v, "shape") else v
           for k, v in arrays.items()}
 
 def call(a):
     return lw_fused_gas_optics_solve(
         a["flav"], a["desc"], a["msc"], a["table_lane"], a["mtab_lo"],
-        a["mtab_up"], a["pb_lay"], a["pb_lev"], a["pb_sfc"], a["emis"],
-        a["inc"], cloud_tau_abs=a["cloud_tau_abs"], **static)
+        a["mtab_up"], a["tlay"], a["tlev"], a["tsfc"], a["totplnk"],
+        a["emis"], a["inc"], cloud_tau_abs=a["cloud_tau_abs"],
+        **static_new)
 
 def force(out):
     np.asarray(jax.device_get(out[0].ravel()[-1:]))
@@ -39,7 +40,7 @@ print(f"fused LW chained:   {min(ts)*1e3:.2f} ms/call", flush=True)
 def body(i, carry):
     s, acc = carry
     a = dict(arrays)
-    a["pb_lay"] = arrays["pb_lay"] + s * 0.0
+    a["tlay"] = arrays["tlay"] + s * 0.0
     o = call(a)
     return (o[0].ravel()[0] * 0.0, acc + o[0].ravel()[-1])
 
