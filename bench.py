@@ -194,19 +194,20 @@ def _child_rfmip():
 
     def rf_window(inner):
         # steady-state window: each step is ONE launch; every step's
-        # fluxes are read back to host INSIDE the timed window, with a
-        # one-deep pipeline so the fixed tunnel round trip overlaps the
-        # next step's device time (a production host loop over input
-        # batches runs exactly this way; the reference's timed block
-        # loop also defers file I/O out of the loop)
+        # fluxes are read back to host INSIDE the timed window, on a
+        # reader thread so the tunnel transfer overlaps the next step's
+        # device time (the same threaded pipeline the drivers' block
+        # loop uses — a same-thread readback serializes against the
+        # next dispatch; scripts/bench_tunnel_overlap.py)
+        from concurrent.futures import ThreadPoolExecutor
         t0 = time.perf_counter()
-        prev = None
-        for _ in range(inner):
-            cur = rfmip_lw_sw(data, g_lw, g_sw, device_out=True)
-            if prev is not None:
-                np.asarray(prev)
-            prev = cur
-        np.asarray(prev)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = [ex.submit(np.asarray,
+                              rfmip_lw_sw(data, g_lw, g_sw,
+                                          device_out=True))
+                    for _ in range(inner)]
+            for f in futs:
+                f.result()
         return (time.perf_counter() - t0) / inner
 
     inner = int(os.environ.get("BENCH_INNER", "10"))

@@ -548,21 +548,23 @@ def rfmip_lw_sw(data: RFMIPData, gas_optics_lw, gas_optics_sw, *,
                              "launch (block_size=None)")
         return launch(data, 0, data.ncol)
 
-    # block loop with a one-deep pipeline: block b+1's solve is dispatched
-    # (async) before block b's host readback, so the fixed device->host
-    # round trip overlaps the next block's device time (the reference's
-    # host-managed block loop, rrtmgp_rfmip_lw.F90:252-288, TPU-style)
+    # block loop with a THREADED readback pipeline: block b's host
+    # readback runs on a worker thread while the main thread dispatches
+    # block b+1 (the reference's host-managed block loop,
+    # rrtmgp_rfmip_lw.F90:252-288, TPU-style). The worker thread matters:
+    # a same-thread np.asarray blocks the Python thread on the transfer
+    # RPC and serializes it against the next dispatch — measured on the
+    # tunnel, the thread overlap is ~1.75x (scripts/
+    # bench_tunnel_overlap.py, docs/PERFORMANCE.md round 5)
+    from concurrent.futures import ThreadPoolExecutor
     ncol = data.ncol
     bs = ncol if block_size is None or block_size >= ncol else block_size
     if ncol % bs:
         raise ValueError("rfmip: number of columns doesn't fit evenly into blocks")
-    outs, prev = [], None
-    for b in range(ncol // bs):
-        cur = launch(data, b * bs, bs)
-        if prev is not None:
-            outs.append(np.asarray(prev))
-        prev = cur
-    outs.append(np.asarray(prev))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = [ex.submit(np.asarray, launch(data, b * bs, bs))
+                for b in range(ncol // bs)]
+        outs = [f.result() for f in futs]
     if len(outs) == 1:
         out = outs[0]
     else:

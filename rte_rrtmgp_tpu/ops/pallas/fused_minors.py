@@ -26,8 +26,11 @@ exact; they differ only in f32 summation-tree shape):
   branch-free maximum-ILP form.
 
 Mode selection: ``set_mode()`` / the module attribute ``MODE``; if None
-the ``RTE_MINOR_MODE`` env var is read at TRACE time. The default is
-the measured-fastest on the chip (docs/PERFORMANCE.md round 5).
+the ``RTE_MINOR_MODE`` env var is read at TRACE time. All modes
+measured within session noise on the chip (docs/PERFORMANCE.md round
+5, "Minor-gas accumulation restructure"); the default stays ``rmw``
+because it is bitwise-identical to the pre-refactor kernels and the
+committed goldens, not because it is faster.
 """
 from __future__ import annotations
 

@@ -265,8 +265,12 @@ def lw_solver_noscat(tau, lay_source, lev_source, sfc_emis, sfc_src, inc_flux,
             ds_np = np.asarray(ds)
             if ds_np.ndim == 1:
                 static_ds = tuple(float(x) for x in ds_np)
-        except (TypeError, ValueError, jax.errors.TracerArrayConversionError,
+        except (TypeError, ValueError, RuntimeError,
+                jax.errors.TracerArrayConversionError,
                 jax.errors.ConcretizationTypeError):
+            # RuntimeError: non-addressable (multi-host-sharded) or
+            # donated/deleted buffers cannot be fetched — fall back to
+            # the traced path exactly like any other non-concrete input
             static_ds = None
 
     ds_arr = jnp.asarray(ds, dtype=dtype)

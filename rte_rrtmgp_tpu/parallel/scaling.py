@@ -160,25 +160,34 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
             chunk, nlay, cloud_optics=cld_lw), mesh, chunk)
         put = lambda k: resident
 
+    from concurrent.futures import ThreadPoolExecutor
+
     cur = put(0)
     out = step(cur)
     _force(out)                                     # compile once
     t0 = time.perf_counter()
-    for k in range(n_chunks):
-        # double buffer: enqueue chunk k+1's upload (async) BEFORE
-        # dispatching chunk k's solve, so the DMA overlaps the kernels
-        nxt = put(k + 1) if (stream and k + 1 < n_chunks) else cur
-        out = step(cur)
-        if reps_per_chunk > 1:
-            for _ in range(reps_per_chunk - 1):
-                out = step(cur)
-        cur = nxt
-        if verbose and k % max(1, n_chunks // 10) == 0:
-            _force(out)
-            done = (k + 1) * chunk
-            dt = time.perf_counter() - t0
-            print(f"  chunk {k + 1}/{n_chunks}: {done:,} cols in {dt:.1f} s "
-                  f"({done / dt:,.0f} cols/s aggregate)")
+    # double buffer on a WORKER THREAD: chunk k+1's host->device upload
+    # runs while chunk k's solve is in flight. The thread matters: a
+    # same-thread device_put blocks the Python thread on the transfer
+    # RPC and serializes it against the next dispatch (measured ~1.75x
+    # on the tunnel, scripts/bench_tunnel_overlap.py)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        nxt_fut = None
+        for k in range(n_chunks):
+            if stream and k + 1 < n_chunks:
+                nxt_fut = ex.submit(put, k + 1)
+            out = step(cur)
+            if reps_per_chunk > 1:
+                for _ in range(reps_per_chunk - 1):
+                    out = step(cur)
+            cur = nxt_fut.result() if nxt_fut is not None else cur
+            nxt_fut = None
+            if verbose and k % max(1, n_chunks // 10) == 0:
+                _force(out)
+                done = (k + 1) * chunk
+                dt = time.perf_counter() - t0
+                print(f"  chunk {k + 1}/{n_chunks}: {done:,} cols in "
+                      f"{dt:.1f} s ({done / dt:,.0f} cols/s aggregate)")
     _force(out)
     dt = time.perf_counter() - t0
     total = n_chunks * chunk * reps_per_chunk

@@ -163,16 +163,21 @@ def fused_allsky():
         nbnd=16, band_lims_wvn=kd_lw.grid.band_lims_wvn_array)
     cld_sw = synthetic_cloud_optics(
         nbnd=14, band_lims_wvn=kd_sw.grid.band_lims_wvn_array)
-    inp = make_allsky_inputs(NCOL, NLAY, cloud_optics=cld_lw)
+    def make_loss(ncol):
+        """One loss per problem size: the production-shape measurement
+        and the reduced-ncol OOM fallback must use the SAME objective."""
+        inp = make_allsky_inputs(ncol, NLAY, cloud_optics=cld_lw)
 
-    def loss(tlay, lwp):
-        i = inp._replace(tlay=tlay, lwp=lwp)
-        flw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
-        fsw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
-        return (jnp.sum(flw.flux_net) + jnp.sum(fsw.flux_up)
-                + jnp.sum(fsw.flux_dn))
+        def loss(tlay, lwp):
+            i = inp._replace(tlay=tlay, lwp=lwp)
+            flw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
+            fsw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
+            return (jnp.sum(flw.flux_net) + jnp.sum(fsw.flux_up)
+                    + jnp.sum(fsw.flux_dn))
 
-    args = (inp.tlay, inp.lwp)
+        return loss, (inp.tlay, inp.lwp)
+
+    loss, args = make_loss(NCOL)
     r = {"measure": "fused_allsky_grad", "ncol": NCOL, "nlay": NLAY}
     set_use_pallas(True)
     try:
@@ -202,16 +207,7 @@ def fused_allsky():
     # at a reduced column count so the comparison still lands
     if not isinstance(tx, float):
         ncol_s = max(512, NCOL // 4)
-        inp_s = make_allsky_inputs(ncol_s, NLAY, cloud_optics=cld_lw)
-        args_s = (inp_s.tlay, inp_s.lwp)
-
-        def loss_s(tlay, lwp):
-            i = inp_s._replace(tlay=tlay, lwp=lwp)
-            flw = allsky_step_lw(i, gas_lw, cloud_optics=cld_lw)
-            fsw = allsky_step_sw(i, gas_sw, cloud_optics=cld_sw)
-            return (jnp.sum(flw.flux_net) + jnp.sum(fsw.flux_up)
-                    + jnp.sum(fsw.flux_dn))
-
+        loss_s, args_s = make_loss(ncol_s)
         rs = {"measure": "fused_allsky_grad_reduced", "ncol": ncol_s,
               "nlay": NLAY}
         set_use_pallas(True)

@@ -16,8 +16,9 @@ Prints JSON lines. Run under scripts/tpu_run.py.
 import json
 import os
 import sys
-import time
 
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -32,6 +33,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 np.asarray(jax.numpy.zeros(8) + 1.0)
 print("# device ok", flush=True)
+
+from timing import timeit  # noqa: E402
 
 REPS = int(os.environ.get("LC_REPS", "5"))
 INNER = int(os.environ.get("LC_INNER", "5"))
@@ -75,19 +78,6 @@ def chain(k, with_table, tab):
     return f
 
 
-def timeit_f(f, x):
-    out = f(x)
-    np.asarray(jax.device_get(out.ravel()[-1:]))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        for _ in range(INNER):
-            out = f(x)
-        np.asarray(jax.device_get(out.ravel()[-1:]))
-        ts.append((time.perf_counter() - t0) / INNER)
-    return min(ts)
-
-
 def main():
     x = jnp.zeros((8, 128), jnp.float32)
     tab = jnp.ones((26 * 1024 * 1024 // 512, 128), jnp.float32)  # ~26 MB
@@ -95,7 +85,8 @@ def main():
     for with_table in (False, True):
         times = {}
         for k in KS:
-            times[k] = timeit_f(chain(k, with_table, tab), x)
+            times[k] = timeit(chain(k, with_table, tab), x,
+                              reps=REPS, inner=INNER)
         ks = sorted(times)
         slope = ((times[ks[-1]] - times[ks[0]]) / (ks[-1] - ks[0]))
         print(json.dumps({
