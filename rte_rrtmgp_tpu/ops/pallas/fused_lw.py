@@ -47,11 +47,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_minors import minor_pass
-from .major_gather import PSPAN
+from .major_gather import PSPAN, block_pressure_codes
 from .minor_gather import _BC, _gather_rows
 from . import solver_lanes as _sl
 
 __all__ = ["lw_fused_gas_optics_solve"]
+
+
+def planck_band_pair(t, tot_ref, *, tp_min, tp_delta, ntot, nrow_t):
+    """(value, d value/d t) of the band-b in-kernel totplnk lerp: the
+    reference interpolate1D (kernels :715-737), folded in-kernel. The
+    totplnk temperature domain rides the 128-lane axis of tot_ref in
+    ``nrow_t`` row groups; the lookup is a per-element cross-lane gather
+    + row-group select. t (rows, _BC) -> (rows, _BC). Matches the XLA
+    planck_bands_lanes numerics exactly (same f32 ops). ONE definition
+    shared by the forward kernel (value) and the adjoint kernel
+    (fused_lw_bwd.py, value + derivative) so the backward's lookup can
+    never drift from the forward it differentiates; the unused
+    derivative is dead-code-eliminated in the forward."""
+    if t.shape[0] == 1:
+        # Mosaic's gather lowering rejects (1, n) operands: jnp
+        # take_along_axis treats the size-1 batch dim as broadcast,
+        # so the indices rank no longer matches the strict 2-D rule
+        # (lowering.py _gather_lowering_rule). Gather on a full
+        # 8-sublane tile and slice the row back out.
+        v, d = planck_band_pair(jnp.broadcast_to(t, (8,) + t.shape[1:]),
+                                tot_ref, tp_min=tp_min, tp_delta=tp_delta,
+                                ntot=ntot, nrow_t=nrow_t)
+        return v[:1], d[:1]
+    val0 = (t - tp_min) / tp_delta
+    frac = val0 - jnp.trunc(val0)
+    idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
+
+    def take(ix):
+        lane = jax.lax.rem(ix, jnp.asarray(128, ix.dtype))
+        acc = jnp.zeros_like(t)
+        for r in range(nrow_t):
+            src = jnp.broadcast_to(tot_ref[0, r, :][None, :], t.shape)
+            g = jnp.take_along_axis(src, lane, axis=1)
+            acc = acc + jnp.where(ix // 128 == r, g, jnp.zeros_like(g))
+        return acc
+
+    lo = take(idx)
+    hi = take(idx + 1)
+    return lo + frac * (hi - lo), (hi - lo) / tp_delta
 
 
 def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
@@ -73,36 +112,9 @@ def _fused_lw_kernel(dsw_ref, flav_ref, jpin_ref, fpin_ref, desc_ref,
     tp_delta = dsw_ref[3]
 
     def planck_band(t):
-        """Band-b Planck values by temperature: the reference interpolate1D
-        (kernels :715-737), folded in-kernel. The totplnk temperature
-        domain rides the 128-lane axis of tot_ref in ``nrow_t`` row
-        groups; the lookup is a per-element cross-lane gather + row-group
-        select. t (rows, _BC) -> (rows, _BC). Matches the XLA
-        planck_bands_lanes numerics exactly (same f32 ops)."""
-        if t.shape[0] == 1:
-            # Mosaic's gather lowering rejects (1, n) operands: jnp
-            # take_along_axis treats the size-1 batch dim as broadcast,
-            # so the indices rank no longer matches the strict 2-D rule
-            # (lowering.py _gather_lowering_rule). Gather on a full
-            # 8-sublane tile and slice the row back out.
-            return planck_band(jnp.broadcast_to(t, (8,) + t.shape[1:]))[:1]
-        val0 = (t - tp_min) / tp_delta
-        frac = val0 - jnp.trunc(val0)
-        idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
-
-        def take(ix):
-            lane = jax.lax.rem(ix, jnp.asarray(128, ix.dtype))
-            acc = jnp.zeros_like(t)
-            for r in range(nrow_t):
-                src = jnp.broadcast_to(tot_ref[0, r, :][None, :], t.shape)
-                g = jnp.take_along_axis(src, lane, axis=1)
-                acc = acc + jnp.where(ix // 128 == r, g,
-                                      jnp.zeros_like(g))
-            return acc
-
-        lo = take(idx)
-        hi = take(idx + 1)
-        return lo + frac * (hi - lo)
+        return planck_band_pair(t, tot_ref, tp_min=tp_min,
+                                tp_delta=tp_delta, ntot=ntot,
+                                nrow_t=nrow_t)[0]
     ntw = 2 * w     # [tau rows, planck rows] payload
     # desc rows: [fp, jp, tropo, ft0, ft1, te(2*nflav), fe(2*nflav),
     # cm(2*nflav), tr(2*nflav)] — flavor rows selected at runtime via the
@@ -326,22 +338,7 @@ def lw_fused_gas_optics_solve(flav, desc, msc, table_lane,
     # per-(column-block, layer) pressure-window base index + uniform flag,
     # and the fpress scalar + uniform flag, precomputed here (cheap in
     # XLA) so the kernel's layer loop does no cross-lane reductions
-    jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
-    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
-    jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
-    jpmax = jnp.max(jp_blk, axis=-1).T
-    # tropopause code per (block, layer): 1 = all lower atm, 2 = all
-    # upper, 0 = mixed — lets the kernel skip whole minor-gas groups
-    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
-    tr_min = jnp.min(tr_blk, axis=-1).T
-    tr_max = jnp.max(tr_blk, axis=-1).T
-    tcode = jnp.where(tr_min == tr_max,
-                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
-    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32), tcode], 1)
-    fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
-    fp0 = fp_blk[:, :, 0].T
-    fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
-    fpin = jnp.stack([fp0.astype(desc_p.dtype), fpu], 1)
+    jpin, fpin = block_pressure_codes(desc_p, nlay=nlay)
 
     kern = functools.partial(
         _fused_lw_kernel, nlay=nlay, w=w, pspan=PSPAN,

@@ -61,6 +61,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import solver_lanes as _sl
 
+from .fused_lw import planck_band_pair as _fwd_planck_band_pair
+from .fused_minors import minor_pass
+from .major_gather import block_pressure_codes
 from .minor_gather import _BC, _gather_rows
 
 __all__ = ["lw_fused_solve_kernel_vjp"]
@@ -103,28 +106,10 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
         tsfc_b_ref[:, :] = jnp.zeros(tsfc_b_ref.shape, dtype)
 
     def planck_band_pair(t):
-        """(value, d value/d t) of the in-kernel totplnk lerp — identical
-        lookup to the forward's planck_band (fused_lw.py)."""
-        if t.shape[0] == 1:
-            v, d = planck_band_pair(jnp.broadcast_to(t, (8,) + t.shape[1:]))
-            return v[:1], d[:1]
-        val0 = (t - tp_min) / tp_delta
-        frac = val0 - jnp.trunc(val0)
-        idx = jnp.clip(val0.astype(jnp.int32), 0, ntot - 2)
-
-        def take(ix):
-            lane = jax.lax.rem(ix, jnp.asarray(128, ix.dtype))
-            acc = jnp.zeros_like(t)
-            for r in range(nrow_t):
-                src = jnp.broadcast_to(tot_ref[0, r, :][None, :], t.shape)
-                g = jnp.take_along_axis(src, lane, axis=1)
-                acc = acc + jnp.where(ix // 128 == r, g,
-                                      jnp.zeros_like(g))
-            return acc
-
-        lo = take(idx)
-        hi = take(idx + 1)
-        return lo + frac * (hi - lo), (hi - lo) / tp_delta
+        # the forward's own lookup (fused_lw.py) — value + derivative
+        return _fwd_planck_band_pair(t, tot_ref, tp_min=tp_min,
+                                     tp_delta=tp_delta, ntot=ntot,
+                                     nrow_t=nrow_t)
 
     def fields(it, l):
         tropo = desc_ref[2, l, :]
@@ -164,23 +149,11 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
     jax.lax.fori_loop(0, nlay, build_layer, 0)
 
-    # minors into tau (forward recompute; adjoint re-gathers later)
-    def minor_fwd_group(group, l):
-        for (lower, f, mg, start, lg0, wm) in group:
-            ncont = ncont_lo if lower else mtab_up_ref.shape[0] // 2
-            tref = mtab_lo_ref if lower else mtab_up_ref
-            scal = msc_ref[mg, l, :][None, :]
-            kk = jnp.zeros((wm, _BC), dtype)
-            for it in range(2):
-                rr = desc_ref[TR0 + 2 * f + it, l, :].astype(jnp.int32)
-                fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
-                ftv = desc_ref[3 + it, l, :][None, :]
-                lo = _gather_rows(tref[start:start + wm, :], rr)
-                hi = _gather_rows(
-                    tref[ncont + start:ncont + start + wm, :], rr)
-                kk = kk + ((1.0 - fe) * ftv) * lo + (fe * ftv) * hi
-            tau_s[l, lg0:lg0 + wm, :] += scal * kk
-
+    # minors into tau: the forward recompute IS the forward's own
+    # minor_pass (fused_minors.py) — one implementation, so the backward
+    # can never diverge from the accumulation it differentiates; the
+    # adjoint re-gathers (minor_bar_group below) keep the explicit
+    # per-band structure via run_minor_layers
     def run_minor_layers(fn):
         for bi, members in enumerate(band_minors):
             if not members:
@@ -205,7 +178,15 @@ def _fused_lw_bwd_kernel(dsw_ref, flav_ref, jpin_ref, desc_ref, msc_ref,
 
                 jax.lax.fori_loop(0, nlay, layer, 0)
 
-    run_minor_layers(minor_fwd_group)
+    for bi, members in enumerate(band_minors):
+        if not members:
+            continue
+
+        @pl.when(b == bi)
+        def _(members=members):
+            minor_pass(tau_s, desc_ref, msc_ref, mtab_lo_ref,
+                       mtab_up_ref, jpin_ref, members, nlay=nlay, w=w,
+                       ncont_lo=ncont_lo, TR0=TR0, FE0=FE0, dtype=dtype)
 
     # ---- P-F: forward solve recompute (stores trans, rdn, rup) ----
     tau = tau_s[:, :, :]
@@ -443,9 +424,16 @@ def lw_fused_solve_kernel_vjp(flav, desc, msc, table_lane, mtab_lo,
         g_up, g_dn = ct
         bars = _lw_fused_bwd(
             flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay, tlev,
-            tsfc, totplnk, emis, inc, cloud, g_up, g_dn, **statics)
+            tsfc, totplnk, emis, inc, cloud, g_up, g_dn,
+            with_cloud=with_cloud, **statics)
         (desc_b, msc_b, tlay_b, tlev_b, tsfc_b, emis_b, inc_b,
          cld_b) = bars
+        if not with_cloud:
+            # the forward ignored the dummy (1, nlay, ncol) zeros primal
+            # (cloud=None was passed through), so its cotangent is zero —
+            # and the kernel's (nbnd, ...) cld_b would fail the
+            # custom_vjp shape check against the dummy's shape
+            cld_b = jnp.zeros_like(cloud)
         fz = np.zeros(flav.shape, jax.dtypes.float0)
         return (fz, jnp.zeros_like(table_lane), jnp.zeros_like(mtab_lo),
                 jnp.zeros_like(mtab_up), jnp.zeros_like(totplnk),
@@ -463,7 +451,7 @@ def lw_fused_solve_kernel_vjp(flav, desc, msc, table_lane, mtab_lo,
 def _lw_fused_bwd(flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay,
                   tlev, tsfc, totplnk, emis, inc, cloud, g_up, g_dn, *,
                   ds, weight, tp_min, tp_delta, nbnd, w, nlay, ncol,
-                  nflav, band_minors, interpret):
+                  nflav, band_minors, interpret, with_cloud=True):
     """Run the adjoint kernel; returns cotangents for (desc, msc, tlay,
     tlev, tsfc, emis, inc, cloud)."""
     dtype = desc.dtype
@@ -486,20 +474,15 @@ def _lw_fused_bwd(flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay,
                      jnp.asarray(tp_delta, dtype).reshape(())])
 
     desc_p = padc_e(desc)
-    jp_all = desc_p[1].astype(jnp.int32)
-    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
-    jp0 = jnp.min(jp_blk, axis=-1).T
-    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
-    tr_min = jnp.min(tr_blk, axis=-1).T
-    tr_max = jnp.max(tr_blk, axis=-1).T
-    tcode = jnp.where(tr_min == tr_max,
-                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
-    jpin = jnp.stack([jp0, jnp.ones_like(jp0), tcode], 1)
+    # uniform flag pinned to 1: the adjoint kernels' eligibility (shared
+    # pressure grids) is asserted eagerly by the caller
+    jpin, _ = block_pressure_codes(desc_p, nlay=nlay,
+                                   assume_uniform=True, with_fp=False)
 
     kern = functools.partial(
         _fused_lw_bwd_kernel, nlay=nlay, w=w, band_minors=band_minors,
-        ncont_lo=mtab_lo.shape[0] // 2, nflav=nflav, with_cloud=True,
-        ntot=ntot, nrow_t=nrow_t)
+        ncont_lo=mtab_lo.shape[0] // 2, nflav=nflav,
+        with_cloud=with_cloud, ntot=ntot, nrow_t=nrow_t)
 
     cb_rows = lambda a: pl.BlockSpec(
         (a.shape[0], nlay, _BC), lambda c, b: (0, 0, c),
@@ -509,8 +492,9 @@ def _lw_fused_bwd(flav, desc, msc, table_lane, mtab_lo, mtab_up, tlay,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_cl = pl.BlockSpec((1, 3, nlay), lambda c, b: (c, 0, 0),
                            memory_space=pltpu.SMEM)
-    band3 = pl.BlockSpec((1, nlay, _BC), lambda c, b: (b, 0, c),
-                         memory_space=pltpu.VMEM)
+    band3 = pl.BlockSpec(
+        (1, nlay, _BC), lambda c, b: ((b if with_cloud else 0), 0, c),
+        memory_space=pltpu.VMEM)
     bnd2 = pl.BlockSpec((1, w, _BC), lambda c, b: (b, 0, c),
                         memory_space=pltpu.VMEM)
     vrow = lambda r: pl.BlockSpec((r, _BC), lambda c, b: (0, c),

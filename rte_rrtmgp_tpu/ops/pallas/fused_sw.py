@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_minors import minor_pass
-from .major_gather import PSPAN
+from .major_gather import PSPAN, block_pressure_codes
 from .minor_gather import _BC, _gather_rows
 from .solver_lanes import _sw_body_lm
 
@@ -271,22 +271,7 @@ def sw_fused_gas_optics_solve(flav, desc, msc, table_lane,
         cloud = (z, z, z)
 
     desc_p = padc_e(desc)
-    jp_all = desc_p[1].astype(jnp.int32)                  # (nlay, ncol_p)
-    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
-    jp0 = jnp.min(jp_blk, axis=-1).T                      # (nblk, nlay)
-    jpmax = jnp.max(jp_blk, axis=-1).T
-    # tropo code per (block, layer): 1 = all lower atm, 2 = all upper,
-    # 0 = mixed (the kernel's single-atmosphere rayleigh fast path)
-    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
-    tr_min = jnp.min(tr_blk, axis=-1).T
-    tr_max = jnp.max(tr_blk, axis=-1).T
-    tcode = jnp.where(tr_min == tr_max,
-                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
-    jpin = jnp.stack([jp0, (jpmax == jp0).astype(jnp.int32), tcode], 1)
-    fp_blk = desc_p[0].reshape(nlay, ncol_p // _BC, _BC)
-    fp0 = fp_blk[:, :, 0].T
-    fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)).T.astype(desc_p.dtype)
-    fpin = jnp.stack([fp0.astype(desc_p.dtype), fpu], 1)
+    jpin, fpin = block_pressure_codes(desc_p, nlay=nlay)
 
     kern = functools.partial(
         _fused_sw_kernel, nlay=nlay, w=w, pspan=PSPAN,

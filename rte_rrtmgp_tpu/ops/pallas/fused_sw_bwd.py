@@ -43,6 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import solver_lanes as _sl
 
+from .fused_minors import minor_pass
+from .major_gather import block_pressure_codes
 from .minor_gather import _BC, _gather_rows
 
 __all__ = ["sw_fused_solve_kernel_vjp"]
@@ -153,23 +155,11 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
 
     jax.lax.fori_loop(0, nlay, build_layer, 0)
 
-    # minors into tau (forward recompute)
-    def minor_fwd_group(group, l):
-        for (lower, f, mg, start, lg0, wm) in group:
-            ncont = ncont_lo if lower else mtab_up_ref.shape[0] // 2
-            tref = mtab_lo_ref if lower else mtab_up_ref
-            scal = msc_ref[mg, l, :][None, :]
-            kk = jnp.zeros((wm, _BC), dtype)
-            for it in range(2):
-                rr = desc_ref[TR0 + 2 * f + it, l, :].astype(jnp.int32)
-                fe = desc_ref[FE0 + 2 * f + it, l, :][None, :]
-                ftv = desc_ref[3 + it, l, :][None, :]
-                lo = _gather_rows(tref[start:start + wm, :], rr)
-                hi = _gather_rows(
-                    tref[ncont + start:ncont + start + wm, :], rr)
-                kk = kk + ((1.0 - fe) * ftv) * lo + (fe * ftv) * hi
-            tau_s[l, lg0:lg0 + wm, :] += scal * kk
-
+    # minors into tau: the forward recompute IS the forward's own
+    # minor_pass (fused_minors.py) — one implementation, so the backward
+    # can never diverge from the accumulation it differentiates; the
+    # adjoint re-gathers (minor_bar_group below) keep the explicit
+    # per-band structure via run_minor_layers
     def run_minor_layers(fn):
         for bi, members in enumerate(band_minors):
             if not members:
@@ -194,7 +184,16 @@ def _fused_sw_bwd_kernel(flav_ref, jpin_ref, desc_ref, msc_ref,
 
                 jax.lax.fori_loop(0, nlay, layer, 0)
 
-    run_minor_layers(minor_fwd_group)
+    for bi in range(len(band_minors)):
+        members = band_minors[bi]
+        if not members:
+            continue
+
+        @pl.when(b == bi)
+        def _(members=members):
+            minor_pass(tau_s, desc_ref, msc_ref, mtab_lo_ref,
+                       mtab_up_ref, jpin_ref, members, nlay=nlay, w=w,
+                       ncont_lo=ncont_lo, TR0=TR0, FE0=FE0, dtype=dtype)
 
     # ---- combine_abs_and_rayleigh + cloud (forward values) ----
     # rayscale row is per (layer, lane): read as a (nlay, 1, BC) value
@@ -628,6 +627,14 @@ def sw_fused_solve_kernel_vjp(flav, desc, msc, table_lane, mtab_lo,
             g_up, g_dn, g_dir, with_cloud=with_cloud, **statics)
         (desc_b, msc_b, ct_b, cs_b, cg_b, mu0_b, albdir_b, albdif_b,
          inc_b, incdif_b) = bars
+        if not with_cloud:
+            # the forward passed cloud=None through, ignoring the dummy
+            # (1, nlay, ncol) zero primals, so their cotangents are zero
+            # — and the kernel's (nbnd, ...) bars would fail the
+            # custom_vjp shape check against the dummies' shape
+            ct_b = jnp.zeros_like(ctau)
+            cs_b = jnp.zeros_like(cssa)
+            cg_b = jnp.zeros_like(cgg)
         fz = np.zeros(flav.shape, jax.dtypes.float0)
         return (fz, jnp.zeros_like(table_lane), jnp.zeros_like(mtab_lo),
                 jnp.zeros_like(mtab_up), jnp.zeros_like(rayl_lane),
@@ -653,15 +660,10 @@ def _sw_fused_bwd(flav, desc, msc, table_lane, mtab_lo, mtab_up,
     nlev = nlay + 1
 
     desc_p = padc_e(desc)
-    jp_all = desc_p[1].astype(jnp.int32)
-    jp_blk = jp_all.reshape(nlay, ncol_p // _BC, _BC)
-    jp0 = jnp.min(jp_blk, axis=-1).T
-    tr_blk = desc_p[2].reshape(nlay, ncol_p // _BC, _BC)
-    tr_min = jnp.min(tr_blk, axis=-1).T
-    tr_max = jnp.max(tr_blk, axis=-1).T
-    tcode = jnp.where(tr_min == tr_max,
-                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
-    jpin = jnp.stack([jp0, jnp.ones_like(jp0), tcode], 1)
+    # uniform flag pinned to 1: the adjoint kernels' eligibility (shared
+    # pressure grids) is asserted eagerly by the caller
+    jpin, _ = block_pressure_codes(desc_p, nlay=nlay,
+                                   assume_uniform=True, with_fp=False)
 
     kern = functools.partial(
         _fused_sw_bwd_kernel, nlay=nlay, w=w, band_minors=band_minors,

@@ -33,9 +33,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .minor_gather import _BC, LANE_ROWS_MAX, _gather_rows, pad_cells
 
-__all__ = ["major_interp_lane", "PSPAN"]
+__all__ = ["major_interp_lane", "PSPAN", "block_pressure_codes"]
 
 PSPAN = 4   # pressure-window rows per block (max in-block span PSPAN-2)
+
+
+def block_pressure_codes(desc_p, *, nlay, assume_uniform=False,
+                         with_fp=True):
+    """Per-(block, layer) SMEM tables for the fused kernels, from the
+    PADDED descriptor stack (rows [fp, jp, tropo, ...], each
+    (nlay, ncol_p) with ncol_p a multiple of 128).
+
+    Returns (jpin, fpin): jpin (nblk, 3, nlay) int32 rows
+    [pressure-window base jp0, uniform flag, tropopause code
+    (1 = block all lower atm, 2 = all upper, 0 = mixed)]; fpin
+    (nblk, 2, nlay) rows [fp scalar, fp-uniform flag] or None when
+    ``with_fp=False``. ``assume_uniform=True`` pins the uniform flag to
+    1 (the fused adjoint kernels' caller-asserted eligibility). This is
+    the single definition of the block coding the forward AND adjoint
+    fused kernels index — keep them reading the same tables.
+    """
+    nrm1 = desc_p.shape[-1] // _BC
+    jp_all = desc_p[1].astype(jnp.int32)
+    jp_blk = jp_all.reshape(nlay, nrm1, _BC)
+    jp0 = jnp.min(jp_blk, axis=-1).T
+    if assume_uniform:
+        uniform = jnp.ones_like(jp0)
+    else:
+        uniform = (jnp.max(jp_blk, axis=-1).T == jp0).astype(jnp.int32)
+    tr_blk = desc_p[2].reshape(nlay, nrm1, _BC)
+    tr_min = jnp.min(tr_blk, axis=-1).T
+    tr_max = jnp.max(tr_blk, axis=-1).T
+    tcode = jnp.where(tr_min == tr_max,
+                      jnp.where(tr_min > 0.5, 1, 2), 0).astype(jnp.int32)
+    jpin = jnp.stack([jp0, uniform, tcode], 1)
+    if not with_fp:
+        return jpin, None
+    fp_blk = desc_p[0].reshape(nlay, nrm1, _BC)
+    fp0 = fp_blk[:, :, 0].T
+    fpu = (jnp.min(fp_blk, -1) == jnp.max(fp_blk, -1)
+           ).T.astype(desc_p.dtype)
+    fpin = jnp.stack([fp0.astype(desc_p.dtype), fpu], 1)
+    return jpin, fpin
 _SUB = 8    # 128-cell lane groups per grid step (amortizes pipeline
             # overhead, the dominant cost at one group per step)
 

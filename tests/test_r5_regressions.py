@@ -220,3 +220,38 @@ def test_sw_gradient_edges_exact_f64():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-10,
                                    err_msg=f"d/d{name}")
+
+
+def test_clear_sky_fused_adjoint_grad():
+    """Clear-sky (no cloud) gradients through the fused adjoint kernels
+    previously CRASHED: the custom-VJP backward returned (nbnd, ...)
+    cloud cotangents for the (1, ...) dummy primals (round-5 review).
+    Gradients must run and match the XLA-retrace backward."""
+    from rte_rrtmgp_tpu.config import set_fused_adjoint
+    from rte_rrtmgp_tpu.drivers.allsky import (allsky_step_lw,
+                                               allsky_step_sw,
+                                               make_allsky_inputs)
+
+    kd_lw = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=5, npres=10)
+    kd_sw = synthetic_kdist(sw=True, ngpt=32, nbnd=4, ntemp=5, npres=10)
+    g_lw, g_sw = GasOpticsRRTMGP(kd_lw), GasOpticsRRTMGP(kd_sw)
+    inp = make_allsky_inputs(128, 8)
+
+    def make(kernel_adjoint):
+        def loss(tlay):
+            i = inp._replace(tlay=tlay)
+            set_use_pallas(True)
+            set_fused_adjoint(kernel_adjoint)
+            try:
+                flw = allsky_step_lw(i, g_lw, use_clouds=False)
+                fsw = allsky_step_sw(i, g_sw, use_clouds=False)
+            finally:
+                set_use_pallas(None)
+                set_fused_adjoint(None)
+            return jnp.sum(flw.flux_up) + jnp.sum(fsw.flux_up)
+        return loss
+
+    gk = np.asarray(jax.grad(make(True))(inp.tlay))
+    gx = np.asarray(jax.grad(make(False))(inp.tlay))
+    assert np.isfinite(gk).all() and np.any(gk != 0.0)
+    np.testing.assert_allclose(gk, gx, rtol=2e-3, atol=2e-4)
