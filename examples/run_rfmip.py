@@ -65,13 +65,13 @@ def main():
         gas_sw = GasOpticsRRTMGP(synthetic_kdist(sw=True, ngpt=224, nbnd=14,
                                                  ntemp=14, npres=59))
     else:
-        gas_lw = load_gas_optics(args.kdist_lw, GASES := (
+        kd_lw = load_gas_optics(args.kdist_lw, GASES := (
             "h2o", "co2", "o3", "n2o", "co", "ch4", "o2", "n2"))
-        gas_sw = load_gas_optics(args.kdist_sw, GASES)
-        data = read_rfmip(args.rfmip_file, gas_lw.kdist.gas_names,
+        kd_sw = load_gas_optics(args.kdist_sw, GASES)
+        data = read_rfmip(args.rfmip_file, kd_lw.gas_names,
                           args.forcing_index)
-        gas_lw = GasOpticsRRTMGP(gas_lw)
-        gas_sw = GasOpticsRRTMGP(gas_sw)
+        gas_lw = GasOpticsRRTMGP(kd_lw)
+        gas_sw = GasOpticsRRTMGP(kd_sw)
 
     rlu, rld = rfmip_lw(data, gas_lw, block_size=args.block_size,
                         n_gauss_angles=args.n_quad_angles)

@@ -265,28 +265,45 @@ def _flip_lay(gas_concs: GasConcs) -> GasConcs:
                     values=tuple(flip(v) for v in gas_concs.values))
 
 
-def _fused_window_ok(gas_optics, play, top_at_1, _cache_on=None) -> bool:
+def _fused_window_ok(gas_optics, play, top_at_1, _cache_on=None,
+                     block_size=None) -> bool:
     """Eager fused-path eligibility: the fused kernels' pressure-window
     guard must run on concrete pressures (inside jit they are tracers).
     ``_cache_on``: optional object (the RFMIPData instance) to memoize
     the answer on — the check costs ~3 ms of numpy per call at 1800x61
-    and the answer is a pure function of (kdist, pressure grid)."""
+    and the answer is a pure function of (kdist, pressure grid,
+    blocking). ``block_size``: when the driver slices columns into
+    blocks whose offsets are NOT 128-aligned, the kernel's 128-column
+    lane groups regroup within each block, so eligibility must hold for
+    every block's own grouping (checking only the full array could pass
+    while a block's unaligned grouping trips the traced guard and
+    NaN-poisons that block)."""
     if _cache_on is not None:
         cache = getattr(_cache_on, "_elig_cache", None)
         if cache is None:
             cache = {}
             object.__setattr__(_cache_on, "_elig_cache", cache)
-        key = (id(gas_optics.kdist), top_at_1)
+        key = (id(gas_optics.kdist), top_at_1, block_size)
         if key in cache:
             return cache[key]
     from ..ops.gas_optics_pallas import pressure_window_ok_by_layer
     from ..ops.pallas.major_gather import PSPAN
     kd = gas_optics.kdist
-    ok = pressure_window_ok_by_layer(
-        play if top_at_1 else play[:, ::-1],
-        press_ref_log=kd.press_ref_log,
-        press_ref_log_delta=kd.press_ref_log_delta,
-        press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+    def check(p):
+        return pressure_window_ok_by_layer(
+            p if top_at_1 else p[:, ::-1],
+            press_ref_log=kd.press_ref_log,
+            press_ref_log_delta=kd.press_ref_log_delta,
+            press_ref_trop_log=kd.press_ref_trop_log, pspan=PSPAN)
+
+    ncol = play.shape[0]
+    bs = ncol if block_size is None or block_size >= ncol else block_size
+    if bs == ncol or bs % 128 == 0:
+        # 128-aligned blocks regroup exactly as the full array does
+        ok = check(play)
+    else:
+        ok = all(check(play[s:s + bs]) for s in range(0, ncol, bs))
     if _cache_on is not None:
         cache[key] = ok
     return ok
@@ -363,7 +380,8 @@ def rfmip_lw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None,
     fused_ok = bool(n_gauss_angles == 1
                     and hasattr(gas_optics, "lw_fused_solve")
                     and _fused_window_ok(gas_optics, data.play, top_at_1,
-                                       _cache_on=data))
+                                         _cache_on=data,
+                                         block_size=block_size))
     solve = _cached_solve(_lw_solve_fn, gas_optics, top_at_1, fused_ok,
                           n_gauss_angles)
 
@@ -476,7 +494,8 @@ def rfmip_sw(data: RFMIPData, gas_optics, *, block_size: Optional[int] = None
     top_at_1 = bool(np.all(data.play[0, 0] < data.play[0, -1]))
     fused_ok = bool(hasattr(gas_optics, "sw_fused_solve")
                     and _fused_window_ok(gas_optics, data.play, top_at_1,
-                                       _cache_on=data))
+                                         _cache_on=data,
+                                         block_size=block_size))
     solve = _cached_solve(_sw_solve_fn, gas_optics, top_at_1, fused_ok)
 
     def run_block(d, start, n):
@@ -515,17 +534,14 @@ def rfmip_lw_sw(data: RFMIPData, gas_optics_lw, gas_optics_sw, *,
     fused_lw = bool(n_gauss_angles == 1
                     and hasattr(gas_optics_lw, "lw_fused_solve")
                     and _fused_window_ok(gas_optics_lw, data.play, top_at_1,
-                                     _cache_on=data))
+                                         _cache_on=data,
+                                         block_size=block_size))
     fused_sw = bool(hasattr(gas_optics_sw, "sw_fused_solve")
                     and _fused_window_ok(gas_optics_sw, data.play, top_at_1,
-                                     _cache_on=data))
-    try:
-        solve = _lwsw_solve_fn(gas_optics_lw, gas_optics_sw, top_at_1,
-                               fused_lw, fused_sw, n_gauss_angles)
-    except TypeError:       # unhashable provider: uncached build
-        solve = _lwsw_solve_fn.__wrapped__(gas_optics_lw, gas_optics_sw,
-                                           top_at_1, fused_lw, fused_sw,
-                                           n_gauss_angles)
+                                         _cache_on=data,
+                                         block_size=block_size))
+    solve = _cached_solve(_lwsw_solve_fn, gas_optics_lw, gas_optics_sw,
+                          top_at_1, fused_lw, fused_sw, n_gauss_angles)
 
     def launch(d, start, n):
         """Asynchronously dispatch one block's solve; returns the stacked

@@ -24,8 +24,7 @@ from ...ops.gas_optics import (InterpCoeffs, interpolation,
                                planck_bands_lanes, planck_sources,
                                planck_sources_lanes, tau_major, tau_minor,
                                tau_rayleigh)
-from ...ops.gas_optics_pallas import (lane_gather_ok, pressure_window_ok,
-                                      pressure_window_ok_by_layer,
+from ...ops.gas_optics_pallas import (lane_gather_ok,
                                       pressure_window_ok_from_play,
                                       tau_major_pallas, tau_minor_pallas,
                                       tau_rayleigh_pallas)
@@ -38,6 +37,21 @@ __all__ = ["GasOpticsRRTMGP", "get_col_dry"]
 # the custom-VJP bridge lives in ops/pallas/autodiff; imported under
 # the established private name for the call sites below
 from ...ops.pallas.autodiff import with_xla_grad as _with_xla_grad
+
+
+def _uniform_band_width_checked(kd, byband: bool):
+    """Band width for the fused XLA references' by-band grouping. The
+    fused tier is only dispatched for uniform-band k-distributions (the
+    Pallas eligibility checks widths explicitly), but the XLA reference
+    formulation would otherwise silently mis-group a ragged grid whose
+    ngpt happens to divide by nband — check instead of assume."""
+    bands = np.asarray(kd.grid.band_lims_gpt_array)
+    widths = bands[:, 1] - bands[:, 0] + 1
+    if byband and not (widths == widths[0]).all():
+        raise ValueError(
+            "fused by-band path requires uniform band widths; got "
+            f"{widths.tolist()}")
+    return int(widths[0])
 
 
 def _shared_pgrid(play) -> bool:
@@ -115,6 +129,14 @@ class GasOpticsRRTMGP:
             vmr_h2o = vmrs[idx_h2o - 1] if idx_h2o > 0 else jnp.zeros_like(play)
             col_dry = get_col_dry(vmr_h2o, plev)
         col_dry = jnp.asarray(col_dry, dtype)
+        if idx_h2o < 0:
+            # h2o absent from the k-distribution: every consumer of
+            # idx_h2o (minor-gas dry_fact, Rayleigh scaling) needs the
+            # water-vapor COLUMN, which is zero — point it at an explicit
+            # zeros row rather than letting Python's negative indexing
+            # silently select the last gas
+            vmrs = vmrs + [jnp.zeros((ncol, nlay), dtype)]
+            idx_h2o = len(vmrs)
         col_gas = jnp.stack([col_dry] + [v * col_dry for v in vmrs], axis=0)
         return col_gas, col_dry, idx_h2o
 
@@ -513,7 +535,6 @@ class GasOpticsRRTMGP:
         Returns (flux_up, flux_dn) each (nlay+1, ncol) top-at-0, or None
         when ineligible (caller falls back to the staged lane path)."""
         from ...ops.gas_optics_pallas import lw_fused_lanes
-        from ...ops.pallas.major_gather import PSPAN
 
         if not self.source_is_internal():
             raise ValueError("rrtmgp gas optics: k-distribution is SW")
@@ -523,7 +544,6 @@ class GasOpticsRRTMGP:
         tlay = jnp.asarray(tlay)
         tsfc = jnp.asarray(tsfc, play.dtype)
 
-        import jax as _jax
         on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
@@ -602,7 +622,7 @@ class GasOpticsRRTMGP:
             # (the fused kernel adds the (nbnd, nlay, ncol) field per band)
             band = jnp.asarray(kd.grid.gpt2band)
             tau = tau + jnp.transpose(cloud_tau_abs, (2, 1, 0))[:, :, band]
-        w0 = kd.ngpt // kd.grid.nband
+        w0 = _uniform_band_width_checked(kd, byband)
         f = lw_solver_noscat(
             tau, sources.lay_source, sources.lev_source, sfc_emis.T,
             sources.sfc_source, inc.T, top_at_1=True, ds=(ds,),
@@ -626,7 +646,6 @@ class GasOpticsRRTMGP:
         (flux_up, flux_dn, flux_dir) each (nlay+1, ncol) top-at-0, or
         None when ineligible."""
         from ...ops.gas_optics_pallas import sw_fused_lanes
-        from ...ops.pallas.major_gather import PSPAN
 
         if not self.source_is_external():
             raise ValueError("rrtmgp gas optics: k-distribution is LW")
@@ -635,7 +654,6 @@ class GasOpticsRRTMGP:
         plev = jnp.asarray(plev)
         tlay = jnp.asarray(tlay)
 
-        import jax as _jax
         on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
         use_pallas = (lane_gather_ok(kd.temp_ref.shape[0], kd.neta - 1)
@@ -722,7 +740,7 @@ class GasOpticsRRTMGP:
             g = jnp.where(tauscat > 2.0 * tiny, g12, 0.0)
             ssa = jnp.where(t > 2.0 * tiny, ssa12, ssa)
             tau = t
-        w0 = kd.ngpt // kd.grid.nband
+        w0 = _uniform_band_width_checked(kd, byband)
         f = sw_solver_2stream(
             tau, ssa, g, mu0.T, sfc_alb_dir.T, sfc_alb_dif.T, inc.T,
             top_at_1=True,

@@ -255,3 +255,62 @@ def test_clear_sky_fused_adjoint_grad():
     gx = np.asarray(jax.grad(make(False))(inp.tlay))
     assert np.isfinite(gk).all() and np.any(gk != 0.0)
     np.testing.assert_allclose(gk, gx, rtol=2e-3, atol=2e-4)
+
+
+def test_blocked_eligibility_checks_block_grouping():
+    """Fused-path eligibility for BLOCKED RFMIP runs must be evaluated on
+    each block's own 128-column lane grouping: a column set whose
+    aligned full-array groups are pressure-uniform can still produce a
+    mixed group inside a non-128-aligned block, which would NaN-poison
+    that block's fluxes at solve time (round-5 review)."""
+    from rte_rrtmgp_tpu.drivers.rfmip import _fused_window_ok
+
+    kd = synthetic_kdist(sw=False, ngpt=32, nbnd=4, ntemp=6, npres=40)
+    gas = GasOpticsRRTMGP(kd)
+    # columns 0-127 near the surface, 128-255 at much lower pressure:
+    # aligned groups are each uniform; the block starting at column 96
+    # mixes the two regimes in one lane group
+    nlay = 4
+    p_hi = np.geomspace(1000e2, 900e2, nlay)
+    p_lo = np.geomspace(100e2, 90e2, nlay)
+    play = np.concatenate([np.tile(p_hi, (128, 1)),
+                           np.tile(p_lo, (128, 1))], axis=0)
+    play = np.ascontiguousarray(play[:, ::-1])  # top_at_1
+    assert _fused_window_ok(gas, play, True) is True
+    assert _fused_window_ok(gas, play, True, block_size=128) is True
+    assert _fused_window_ok(gas, play, True, block_size=96) is False
+
+
+def test_col_gas_h2o_absent_yields_zero_column():
+    """A k-distribution without 'h2o' in gas_names: idx_gas returns -1,
+    and col_gas[idx_h2o] previously wrapped (Python negative indexing)
+    to the LAST gas — silently using e.g. n2 as water vapor in the
+    minor-gas dry_fact and Rayleigh scaling (round-5 review). The
+    returned index must now select an all-zeros column."""
+    from types import SimpleNamespace
+    from rte_rrtmgp_tpu.gas_concs import GasConcs
+
+    class KD:
+        gas_names = ("co2", "n2")
+
+        def idx_gas(self, name):
+            key = name.lower()
+            return (self.gas_names.index(key) + 1
+                    if key in self.gas_names else -1)
+
+    self_stub = SimpleNamespace(kdist=KD())
+    ncol, nlay = 3, 4
+    play = jnp.full((ncol, nlay), 500e2, jnp.float32)
+    plev = jnp.broadcast_to(
+        jnp.linspace(1000e2, 100e2, nlay + 1, dtype=jnp.float32)[None],
+        (ncol, nlay + 1))
+    tlay = jnp.full((ncol, nlay), 270.0, jnp.float32)
+    gc = GasConcs.empty().set_vmr("co2", 400e-6).set_vmr("n2", 0.78)
+
+    col_gas, col_dry, idx_h2o = GasOpticsRRTMGP._col_gas(
+        self_stub, play, plev, tlay, gc, None)
+    assert idx_h2o >= 0
+    h2o_col = np.asarray(col_gas[idx_h2o])
+    assert np.all(h2o_col == 0.0), "h2o column must be zero when absent"
+    # and the real gases are untouched
+    assert np.all(np.asarray(col_gas[KD().idx_gas("n2")]) > 0.0)
