@@ -28,6 +28,24 @@ def _validate(randoms, cloud_frac, overlap_param=None):
         raise ValueError("sampled_mask: randoms and cloud_frac sizes inconsistent")
     if overlap_param is not None and overlap_param.shape != (ncol, nlay - 1):
         raise ValueError("sampled_mask: overlap_param must be (ncol, nlay-1)")
+    # reference range checks (mo_cloud_sampling.F90:152-155, :244-251);
+    # repo convention: eager values validate, traced values are skipped
+    import jax as _j
+    import numpy as _np
+    from ..config import get_config
+    if not get_config().check_values:
+        return
+    if not isinstance(cloud_frac, _j.core.Tracer):
+        cf = _np.asarray(cloud_frac)
+        if _np.any((cf < 0.0) | (cf > 1.0)):
+            raise ValueError("sampled_mask: cloud fraction values out of "
+                             "range [0, 1]")
+    if overlap_param is not None and not isinstance(overlap_param,
+                                                    _j.core.Tracer):
+        op = _np.asarray(overlap_param)
+        if _np.any((op < -1.0) | (op > 1.0)):
+            raise ValueError("sampled_mask: overlap_param values out of "
+                             "range [-1, 1]")
 
 
 def _mask_scan(randoms, cloud_frac, correlate):
@@ -103,6 +121,12 @@ def draw_samples(cloud_mask, clouds: OpticalProps,
     ngpt = target_grid.ngpt
     if cloud_mask.shape[-1] != ngpt:
         raise ValueError("draw_samples: cloud mask ngpt mismatch")
+    if clouds.tau.shape[-1] != clouds.grid.nband:
+        # the reference's typed interface dimensions the input as
+        # (ncol, nlay, nbnd); a g-point-resolved field would silently
+        # mis-gather (band indices into a g-point axis)
+        raise ValueError("draw_samples: cloud properties must be "
+                         "band-resolved (last axis nbnd)")
     g2b = target_grid.gpt2band
 
     def sample(field):

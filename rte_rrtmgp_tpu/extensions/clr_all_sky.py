@@ -2,8 +2,10 @@
 
 Equivalent of reference rte/extensions/mo_rrtmgp_clr_all_sky.F90:22-297
 (``rte_lw`` / ``rte_sw`` overloads): run gas optics, optionally increment
-with cloud (and aerosol) optical properties (delta-scaling scattering
-props in the SW), then solve.
+with cloud (and aerosol) optical properties, then solve. As in the
+reference wrapper, NO delta scaling is applied here — callers that want
+delta-Eddington rescaled clouds (e.g. the all-sky example program,
+rrtmgp_allsky.F90) delta-scale before passing them in.
 """
 from __future__ import annotations
 
@@ -11,7 +13,7 @@ from typing import Optional
 
 from ..fluxes import Fluxes
 from ..gas_concs import GasConcs
-from ..optical_props import OpticalProps, delta_scale, increment
+from ..optical_props import OpticalProps, increment
 from ..rte import rte_lw, rte_sw
 
 __all__ = ["clr_all_sky_lw", "clr_all_sky_sw"]
@@ -44,13 +46,18 @@ def clr_all_sky_sw(gas_optics, play, plev, tlay, gas_concs: GasConcs,
                    aerosols: Optional[OpticalProps] = None,
                    col_dry=None, inc_flux_dif=None, top_at_1=None,
                    spectral: bool = False) -> Fluxes:
-    """SW all-sky convenience (reference rte_sw wrapper :172-297):
-    clouds/aerosols are delta-scaled before incrementing."""
+    """SW all-sky convenience (reference rte_sw wrapper :172-297).
+
+    Clouds/aerosols are incremented AS GIVEN — the reference wrapper
+    applies no delta scaling (mo_rrtmgp_clr_all_sky.F90:276-288; only
+    the all-sky example program delta-scales its clouds first); callers
+    wanting delta-Eddington rescaling apply
+    ``optical_props.delta_scale`` before the call."""
     props, toa = gas_optics.gas_optics_sw(
         play, plev, tlay, gas_concs, col_dry=col_dry, top_at_1=top_at_1)
     if clouds is not None:
-        props = increment(props, delta_scale(clouds))
+        props = increment(props, clouds)
     if aerosols is not None:
-        props = increment(props, delta_scale(aerosols))
+        props = increment(props, aerosols)
     return rte_sw(props, mu0, toa, sfc_alb_dir, sfc_alb_dif,
                   inc_flux_dif=inc_flux_dif, spectral=spectral)

@@ -29,4 +29,9 @@ def zenith_angle_with_height(ref_alt, ref_mu, alt, *,
     alt = jnp.asarray(alt, ref_alt.dtype)
     sin2 = (1.0 - ref_mu[:, None] ** 2) * (
         (planet_radius + ref_alt[:, None]) / (planet_radius + alt)) ** 2
-    return jnp.where(sin2 < 1.0, jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0)), 0.0)
+    below = sin2 >= 1.0
+    # the sqrt argument must be guarded with the TAKEN-branch value so
+    # the backward pass never differentiates sqrt at 0 (0 * d sqrt(0) =
+    # 0 * inf = NaN would poison the whole gradient)
+    safe = jnp.where(below, 1.0, jnp.maximum(1.0 - sin2, 0.0))
+    return jnp.where(below, 0.0, jnp.sqrt(safe))

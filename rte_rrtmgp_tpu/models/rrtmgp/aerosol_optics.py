@@ -89,6 +89,33 @@ class AerosolOpticsMERRA:
     def nbnd(self): return self.grid.nband
 
     # ------------------------------------------------------------------
+    def _maybe_validate(self, aero_type, aero_size, relhum) -> None:
+        """Reference bounds checks (mo_aerosol_optics_rrtmgp_merra.F90
+        :344-347): aerosol size within the bin table for any cell with a
+        nonzero type, relative humidity in [0, 1]. Repo convention
+        (rte.py): run eagerly when value checks are on; skipped for
+        traced values (out-of-range sizes would otherwise silently fall
+        back to size bin 0)."""
+        import jax as _j
+        from ...config import get_config
+        if not get_config().check_values:
+            return
+        if any(isinstance(x, _j.core.Tracer)
+               for x in (aero_type, aero_size, relhum)):
+            return
+        atype = np.asarray(aero_type)
+        size = np.broadcast_to(np.asarray(aero_size), atype.shape)
+        rh = np.broadcast_to(np.asarray(relhum), atype.shape)
+        lims = np.asarray(self.bin_lims)
+        active = atype > 0      # reference masks both checks by aeromsk
+        if np.any((size[active] < lims[0, 0])
+                  | (size[active] > lims[1, -1])):
+            raise ValueError("aerosol optics: requested aerosol size is "
+                             "out of bounds")
+        if np.any((rh[active] < 0.0) | (rh[active] > 1.0)):
+            raise ValueError("aerosol optics: relative humidity "
+                             "fraction is out of bounds")
+
     def aerosol_optics(self, aero_type, aero_size, aero_mass, relhum, *,
                        scattering: bool = True,
                        top_at_1: bool = True) -> OpticalProps:
@@ -116,8 +143,43 @@ class AerosolOpticsMERRA:
         lane = lambda x: jnp.transpose(x, (2, 1, 0))
         return lane(tau), lane(taussa), lane(taussag)
 
+    def _row_table(self):
+        """The flattened (species, rh, bin) row table + per-species row
+        offsets, built ONCE per instance (it depends only on the frozen
+        LUTs; rebuilding it on every call repeated seven moveaxis/
+        reshape ops + a concatenate per timestep in eager use)."""
+        cached = getattr(self, "_row_table_cache", None)
+        if cached is not None:
+            return cached
+        nbnd, nbin, nrh = self.nbnd, self.nbin, self.nrh
+        rows = [jnp.zeros((1, 3, nbnd), self.dust_tbl.dtype)]
+        off = {}
+
+        def add(name, block):
+            off[name] = sum(r.shape[0] for r in rows)
+            rows.append(block)
+
+        add("dust", jnp.moveaxis(self.dust_tbl, 0, 1))          # (nbin, 3, nbnd)
+        add("salt", jnp.moveaxis(self.salt_tbl, 0, 2)           # (nrh*nbin, 3, nbnd)
+            .reshape(nrh * nbin, 3, nbnd))
+        add("sulf", jnp.moveaxis(self.sulf_tbl, 0, 1))          # (nrh, 3, nbnd)
+        add("bcar_rh", jnp.moveaxis(self.bcar_rh_tbl, 0, 1))
+        add("bcar", self.bcar_tbl[None])                        # (1, 3, nbnd)
+        add("ocar_rh", jnp.moveaxis(self.ocar_rh_tbl, 0, 1))
+        add("ocar", self.ocar_tbl[None])
+        table = jnp.concatenate(rows, axis=0).reshape(-1, 3 * nbnd)
+        cached = (table, off)
+        import jax as _j
+        if not isinstance(table, _j.core.Tracer):
+            # cache only CONCRETE tables: when the instance crosses a
+            # jit boundary as a pytree its leaves are tracers, and a
+            # cached traced table would leak out of that trace
+            object.__setattr__(self, "_row_table_cache", cached)
+        return cached
+
     def _tau_triplet(self, aero_type, aero_size, aero_mass, relhum):
         """(tau, tau*ssa, tau*ssa*g), each (ncol, nlay, nbnd)."""
+        self._maybe_validate(aero_type, aero_size, relhum)
         atype = jnp.asarray(aero_type, jnp.int32)
         size = jnp.asarray(aero_size)
         mass = jnp.asarray(aero_mass, size.dtype)
@@ -154,22 +216,7 @@ class AerosolOpticsMERRA:
         # produces (ext, ssa, g) for every cell. Row 0 is zero (no/unknown
         # aerosol type). Numerics identical to the per-species branches.
         nbin, nrh = self.nbin, self.nrh
-        rows = [jnp.zeros((1, 3, nbnd), self.dust_tbl.dtype)]
-        off = {}
-
-        def add(name, block):
-            off[name] = sum(r.shape[0] for r in rows)
-            rows.append(block)
-
-        add("dust", jnp.moveaxis(self.dust_tbl, 0, 1))          # (nbin, 3, nbnd)
-        add("salt", jnp.moveaxis(self.salt_tbl, 0, 2)           # (nrh*nbin, 3, nbnd)
-            .reshape(nrh * nbin, 3, nbnd))
-        add("sulf", jnp.moveaxis(self.sulf_tbl, 0, 1))          # (nrh, 3, nbnd)
-        add("bcar_rh", jnp.moveaxis(self.bcar_rh_tbl, 0, 1))
-        add("bcar", self.bcar_tbl[None])                        # (1, 3, nbnd)
-        add("ocar_rh", jnp.moveaxis(self.ocar_rh_tbl, 0, 1))
-        add("ocar", self.ocar_tbl[None])
-        table = jnp.concatenate(rows, axis=0).reshape(-1, 3 * nbnd)
+        table, off = self._row_table()
 
         def rows_of(irh):
             r = jnp.zeros(atype.shape, jnp.int32)

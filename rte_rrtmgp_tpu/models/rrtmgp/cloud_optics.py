@@ -25,9 +25,10 @@ from ...spectral import SpectralGrid
 __all__ = ["CloudOpticsRRTMGP"]
 
 
-def _interp_size(table, idx0, fint, mask, wp):
-    """tau-style table interp: wp * (tab[i] + fint (tab[i+1]-tab[i])).
-    table: (nsize, ngpt); idx0/fint/mask/wp: (ncol, nlay)."""
+def _interp_size(table, idx0, fint):
+    """Particle-size table lerp: tab[i] + fint * (tab[i+1] - tab[i]).
+    table: (nsize, ngpt); idx0/fint: (ncol, nlay). (The caller applies
+    the water-path factor and the phase mask.)"""
     lo = jnp.take(table, idx0, axis=0)        # (ncol, nlay, ngpt)
     hi = jnp.take(table, idx0 + 1, axis=0)
     return (lo + fint[..., None] * (hi - lo))
@@ -123,9 +124,9 @@ class CloudOpticsRRTMGP:
         fint = pos - idx0.astype(dtype)
         maskf = mask.astype(dtype)[..., None]
         ext, ssa, asy = tables
-        t = (wp[..., None] * _interp_size(ext, idx0, fint, mask, wp)) * maskf
-        ts = t * _interp_size(ssa, idx0, fint, mask, wp)
-        tsg = ts * _interp_size(asy, idx0, fint, mask, wp)
+        t = (wp[..., None] * _interp_size(ext, idx0, fint)) * maskf
+        ts = t * _interp_size(ssa, idx0, fint)
+        tsg = ts * _interp_size(asy, idx0, fint)
         return t, ts, tsg
 
     def cloud_optics(self, clwp, ciwp, reliq, dgice, *,
@@ -141,6 +142,7 @@ class CloudOpticsRRTMGP:
         ciwp = jnp.asarray(ciwp, clwp.dtype)
         reliq = jnp.asarray(reliq, clwp.dtype)
         dgice = jnp.asarray(dgice, clwp.dtype)
+        self._maybe_validate(clwp, ciwp, reliq, dgice)
 
         on_tpu = _on_tpu()
         cfg_pallas = get_config().use_pallas
@@ -238,6 +240,7 @@ class CloudOpticsRRTMGP:
         ciwp = jnp.asarray(ciwp, clwp.dtype)
         reliq = jnp.asarray(reliq, clwp.dtype)
         dgice = jnp.asarray(dgice, clwp.dtype)
+        self._maybe_validate(clwp, ciwp, reliq, dgice)
 
         def pallas_arm(clwp, ciwp, reliq, dgice):
             out, ncol, nlay, nbnd = self._lane_triplet_raw(
@@ -255,6 +258,19 @@ class CloudOpticsRRTMGP:
 
         from ...ops.pallas.autodiff import with_xla_grad
         return with_xla_grad(pallas_arm, xla_arm, clwp, ciwp, reliq, dgice)
+
+    def _maybe_validate(self, clwp, ciwp, reliq, dgice) -> None:
+        """Run the reference's bounds checks (:346-353) when value checks
+        are enabled and inputs are concrete — the repo-wide convention
+        (rte.py): eager calls validate, traced values are skipped (the
+        LUT would silently extrapolate out-of-range sizes otherwise)."""
+        import jax as _j
+        if not get_config().check_values:
+            return
+        if any(isinstance(x, _j.core.Tracer)
+               for x in (clwp, ciwp, reliq, dgice)):
+            return
+        self.validate_inputs(clwp, ciwp, reliq, dgice)
 
     def validate_inputs(self, clwp, ciwp, reliq, dgice) -> None:
         """Eager bounds checks (reference :346-353)."""

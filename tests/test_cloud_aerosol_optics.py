@@ -209,9 +209,13 @@ def test_aerosol_hydrophobic_constant_in_rh(aerosol_optics):
     ao = aerosol_optics
     atype = np.full((NCOL, NLAY), MERRA_AERO_BCAR)
     z = np.zeros((NCOL, NLAY))
+    # size must be in the bin table even for species that ignore it:
+    # the reference's check_values gate bounds aero_size for every
+    # active cell (mo_aerosol_optics_rrtmgp_merra.F90:344-347)
+    size = np.full((NCOL, NLAY), 0.5)
     mass = np.full((NCOL, NLAY), 1e-6)
-    a = ao.aerosol_optics(atype, z, mass, z + 0.1)
-    b = ao.aerosol_optics(atype, z, mass, z + 0.9)
+    a = ao.aerosol_optics(atype, size, mass, z + 0.1)
+    b = ao.aerosol_optics(atype, size, mass, z + 0.9)
     np.testing.assert_array_equal(np.asarray(a.tau), np.asarray(b.tau))
 
 

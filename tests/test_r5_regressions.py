@@ -314,3 +314,52 @@ def test_col_gas_h2o_absent_yields_zero_column():
     assert np.all(h2o_col == 0.0), "h2o column must be zero when absent"
     # and the real gases are untouched
     assert np.all(np.asarray(col_gas[KD().idx_gas("n2")]) > 0.0)
+
+
+def test_zenith_angle_gradient_finite_below_horizon():
+    """zenith_angle_with_height previously produced NaN gradients when
+    any cell had the sun below the geometric horizon (0 * d sqrt(0) in
+    the backward pass of the single-where formulation)."""
+    from rte_rrtmgp_tpu.extensions.zenith_angle import (
+        zenith_angle_with_height)
+
+    def f(mu):
+        return jnp.sum(zenith_angle_with_height(
+            jnp.array([1000.0]), mu, jnp.array([[0.0, 500.0, 2000.0]])))
+
+    g = jax.grad(f)(jnp.array([0.05]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cloud_sampling_range_checks():
+    """Out-of-range cloud fractions / overlap params raise eagerly (the
+    reference returns errors for both; previously a cloud_frac of 1.3
+    silently sampled 100% cloudy and |rho| > 1 produced NaN masks)."""
+    from rte_rrtmgp_tpu.extensions.cloud_sampling import (
+        sampled_mask_exp_ran, sampled_mask_max_ran)
+
+    rng = np.random.default_rng(0)
+    randoms = rng.uniform(size=(2, 4, 8)).astype(np.float32)
+    bad_cf = np.full((2, 4), 1.3, np.float32)
+    with pytest.raises(ValueError, match="cloud fraction"):
+        sampled_mask_max_ran(randoms, bad_cf)
+    ok_cf = np.full((2, 4), 0.5, np.float32)
+    bad_rho = np.full((2, 3), 1.5, np.float32)
+    with pytest.raises(ValueError, match="overlap_param"):
+        sampled_mask_exp_ran(randoms, ok_cf, bad_rho)
+
+
+def test_cloud_optics_validates_when_enabled():
+    """cloud_optics runs the reference's bounds checks on eager inputs
+    (previously validate_inputs was dead code and out-of-range sizes
+    silently extrapolated the LUT)."""
+    from rte_rrtmgp_tpu.utils.synthetic import synthetic_cloud_optics
+
+    co = synthetic_cloud_optics(
+        nbnd=4, band_lims_wvn=np.array([[10.0 * (i + 1), 10.0 * (i + 2)]
+                                        for i in range(4)]))
+    clwp = np.full((2, 3), 20.0, np.float32)
+    zero = np.zeros((2, 3), np.float32)
+    bad_re = np.full((2, 3), 1e4, np.float32)
+    with pytest.raises(ValueError, match="radius"):
+        co.cloud_optics(clwp, zero, bad_re, zero)
