@@ -45,8 +45,17 @@ def sw_solver_noscat(tau, mu0, inc_flux_dir, *, top_at_1: bool) -> jax.Array:
     if not top_at_1:
         tau = _flip_lay(tau)
         mu0 = jnp.flip(mu0, axis=1)
-    trans = jnp.exp(-tau / mu0[:, :, None])
-    seed = (inc_flux_dir * mu0[:, 0:1])[:, None, :]          # (ncol, 1, ngpt)
+    # nighttime masking: the reference kernel divides by raw mu0 (garbage
+    # for mu0 <= 0); the framework blesses mu0 in [-1, 1] and the
+    # two-stream path masks night columns, so the direct beam is zeroed
+    # through any night layer here for consistency (exp(+tau/|mu0|)
+    # would overflow to inf in f32 otherwise)
+    day = mu0 > 0.0
+    mu0_safe = jnp.where(day, mu0, 1.0)
+    trans = jnp.where(day[:, :, None],
+                      jnp.exp(-tau / mu0_safe[:, :, None]), 0.0)
+    seed = (inc_flux_dir * jnp.where(day[:, 0:1], mu0[:, 0:1], 0.0)
+            )[:, None, :]                                    # (ncol, 1, ngpt)
     flux_dir = seed * jnp.concatenate(
         [jnp.ones_like(seed), jnp.cumprod(trans, axis=1)], axis=1)
     if not top_at_1:

@@ -20,6 +20,7 @@ from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .spectral import SpectralGrid
 
@@ -120,6 +121,16 @@ def delta_scale(props: OpticalProps, f: Optional[jax.Array] = None) -> OpticalPr
     if isinstance(props, OpticalPropsNstr):
         raise NotImplementedError("delta_scale for n-stream not implemented")
     g = props.g
+    if f is not None:
+        # reference delta_scale errors on f outside [0, 1] (a fraction;
+        # f > 1 would flip tau negative); repo convention: eager values
+        # validate, traced values are skipped
+        from .config import get_config
+        if get_config().check_values and not isinstance(f, jax.core.Tracer):
+            f_np = np.asarray(f)
+            if np.any((f_np < 0.0) | (f_np > 1.0)):
+                raise ValueError("delta_scale: values of f out of "
+                                 "bounds [0, 1]")
     f = g * g if f is None else f
     one = jnp.asarray(1.0, props.tau.dtype)
     wf = props.ssa * f
@@ -165,9 +176,15 @@ def increment(target: OpticalProps, other: OpticalProps) -> OpticalProps:
     if isinstance(other, OpticalProps1scl):
         o_ssa = None
         o_g = None
+    elif isinstance(other, OpticalProps2str):
+        o_ssa = ex(other.ssa)
+        o_g = ex(other.g)
     else:
         o_ssa = ex(other.ssa)
-        o_g = ex(other.g) if isinstance(other, OpticalProps2str) else None
+        # n-stream scatterer into a 2-stream target: the first phase
+        # moment IS the asymmetry parameter (reference
+        # increment_2stream_by_nstream, kernels :229-259 uses p2(1))
+        o_g = ex(other.p[0])
 
     if isinstance(target, OpticalProps1scl):
         # absorption-only target: add absorption optical depth tau*(1-ssa)
@@ -210,9 +227,18 @@ def increment(target: OpticalProps, other: OpticalProps) -> OpticalProps:
         o_p = ex(other.p)
     tau12 = t_tau + o_tau
     tauscat12 = t_tau * t_ssa + o_tau * o_ssa
-    p12 = (t_tau * t_ssa * t_p + o_tau * o_ssa * o_p) / jnp.maximum(tauscat12, tiny)
+    # blend the common min(nmom) moments; the target's higher moments
+    # are left untouched exactly as the reference does (kernels
+    # :325-360: "if op2 has fewer moments the higher orders are
+    # assumed to be 0" — and p1 rows above mom_lim are not written)
+    mom_lim = min(t_p.shape[0], o_p.shape[0])
+    blend = ((t_tau * t_ssa * t_p[:mom_lim]
+              + o_tau * o_ssa * o_p[:mom_lim])
+             / jnp.maximum(tauscat12, tiny))
+    blend = jnp.where(tauscat12 > 2.0 * tiny, blend, t_p[:mom_lim])
+    p12 = (blend if mom_lim == t_p.shape[0]
+           else jnp.concatenate([blend, t_p[mom_lim:]], axis=0))
     ssa12 = tauscat12 / jnp.maximum(tau12, tiny)
-    p12 = jnp.where(tauscat12 > 2.0 * tiny, p12, t_p)
     ssa12 = jnp.where(tau12 > 2.0 * tiny, ssa12, t_ssa)
     return OpticalPropsNstr(tau=tau12, ssa=ssa12, p=p12, grid=grid, top_at_1=target.top_at_1)
 

@@ -37,10 +37,20 @@ __all__ = ["rte_lw", "rte_sw"]
 
 def _uniform_band_width(grid):
     """The common band width when every band spans the same number of
-    g-points (production k-distributions: 16), else None."""
+    g-points AND bands are contiguous ascending from g-point 1
+    (production k-distributions: 16), else None. Contiguity matters:
+    the in-solver byband fast path reduces by reshape(nband, width),
+    which assumes band b owns g-points [b*w+1, (b+1)*w] — a reordered
+    grid must take the gpt2band reduction path instead."""
     lims = np.asarray(grid.band_lims_gpt_array)
     widths = lims[:, 1] - lims[:, 0] + 1
-    return int(widths[0]) if (widths == widths[0]).all() else None
+    w = int(widths[0])
+    if not (widths == w).all():
+        return None
+    starts = np.arange(lims.shape[0]) * w + 1
+    if not (lims[:, 0] == starts).all():
+        return None
+    return w
 
 
 def _expand_bc(arr, grid, ncol, what):
@@ -156,9 +166,17 @@ def rte_lw(optical_props: OpticalProps,
                             flux_dn=sum_byband(res.flux_dn, grid),
                             flux_up_jac=res.flux_up_jac)
 
+    jac = res.flux_up_jac
+    if jac is not None and jac.shape[-1] == ngpt and not spectral:
+        # the Jacobian is BROADBAND at every non-spectral resolution
+        # (the reference's dF/dT_sfc is broadband-only); the ragged
+        # byband path solves spectrally for the flux reduction and must
+        # reduce the Jacobian all the way down to match the uniform
+        # fast path's output
+        jac = jnp.sum(jac, axis=-1)
     return Fluxes(flux_up=res.flux_up, flux_dn=res.flux_dn,
                   flux_net=res.flux_dn - res.flux_up,
-                  flux_up_jac=res.flux_up_jac)
+                  flux_up_jac=jac)
 
 
 def rte_sw(optical_props: OpticalProps,
@@ -192,16 +210,24 @@ def rte_sw(optical_props: OpticalProps,
         mu0 = jnp.broadcast_to(mu0[:, None], (ncol, nlay))
     elif mu0.shape != (ncol, nlay):
         raise ValueError(f"rte_sw: mu0 shape {mu0.shape} != (ncol,) or (ncol, nlay)")
-    if cfg.check_values and not isinstance(mu0, jax.core.Tracer):
-        import numpy as np
-        m = np.asarray(mu0)
-        if np.any((m < -1.0) | (m > 1.0)):
-            raise ValueError("rte_sw: one or more mu0 < -1 or > 1")
+    if cfg.check_values:
+        # validate_props skips traced values itself (rte_lw does the
+        # same) — don't let a traced mu0 suppress checks on concrete
+        # optical properties
         validate_props(optical_props)
+        if not isinstance(mu0, jax.core.Tracer):
+            m = np.asarray(mu0)
+            if np.any((m < -1.0) | (m > 1.0)):
+                raise ValueError("rte_sw: one or more mu0 < -1 or > 1")
 
     inc = _expand_bc(inc_flux, grid, ncol, "inc_flux")
 
     if isinstance(optical_props, OpticalProps1scl):
+        if inc_flux_dif is not None:
+            raise ValueError(
+                "rte_sw: inc_flux_dif requires scattering optical "
+                "properties (the absorption-only solver computes the "
+                "direct beam only and would silently drop it)")
         flux_dir = sw_solver_noscat(optical_props.tau, mu0, inc, top_at_1=top_at_1)
         if byband:
             flux_dir = sum_byband(flux_dir, grid)

@@ -363,3 +363,153 @@ def test_cloud_optics_validates_when_enabled():
     bad_re = np.full((2, 3), 1e4, np.float32)
     with pytest.raises(ValueError, match="radius"):
         co.cloud_optics(clwp, zero, bad_re, zero)
+
+
+def test_sw_noscat_night_columns_zero():
+    """The direct-beam (1scl) solver previously divided by raw mu0:
+    night columns (mu0 <= 0) produced inf/negative fluxes. They must be
+    zero, consistent with the two-stream path's nighttime masking."""
+    from rte_rrtmgp_tpu import OpticalProps1scl, rte_sw
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    rng = np.random.default_rng(0)
+    ncol, nlay, ngpt = 4, 5, 8
+    grid = SpectralGrid.from_arrays(np.array([[10.0, 3000.0]]),
+                                    np.array([[1, ngpt]]))
+    tau = jnp.asarray(rng.uniform(0.1, 50.0, (ncol, nlay, ngpt)),
+                      jnp.float32)
+    props = OpticalProps1scl(tau=tau, grid=grid, top_at_1=True)
+    mu0 = jnp.asarray([0.6, -0.3, 0.0, 0.8], jnp.float32)
+    inc = jnp.full((ncol, ngpt), 100.0, jnp.float32)
+    f = rte_sw(props, mu0, inc, jnp.zeros((ncol, 1)), jnp.zeros((ncol, 1)))
+    dn = np.asarray(f.flux_dn)
+    assert np.isfinite(dn).all()
+    assert np.all(dn[1] == 0.0) and np.all(dn[2] == 0.0)   # night, terminator
+    assert np.all(dn[0, 0] > 0.0) and np.all(dn[3, 0] > 0.0)
+
+
+def test_rte_sw_1scl_rejects_inc_flux_dif():
+    """inc_flux_dif with absorption-only props previously vanished
+    silently; it must raise."""
+    from rte_rrtmgp_tpu import OpticalProps1scl, rte_sw
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    ncol, nlay, ngpt = 2, 3, 4
+    grid = SpectralGrid.from_arrays(np.array([[10.0, 3000.0]]),
+                                    np.array([[1, ngpt]]))
+    props = OpticalProps1scl(tau=jnp.ones((ncol, nlay, ngpt)), grid=grid)
+    with pytest.raises(ValueError, match="inc_flux_dif"):
+        rte_sw(props, jnp.full((ncol,), 0.5), jnp.ones((ncol, ngpt)),
+               jnp.zeros((ncol, 1)), jnp.zeros((ncol, 1)),
+               inc_flux_dif=jnp.ones((ncol, ngpt)))
+
+
+def test_increment_2str_by_nstr_uses_first_moment():
+    """2str += nstr must use the n-stream phase function's FIRST moment
+    as the asymmetry (reference increment_2stream_by_nstream uses p2(1));
+    previously the scatterer was treated as isotropic (g = 0)."""
+    from rte_rrtmgp_tpu import (OpticalProps2str, OpticalPropsNstr,
+                                increment)
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    rng = np.random.default_rng(1)
+    ncol, nlay, ngpt, nmom = 2, 3, 4, 4
+    grid = SpectralGrid.from_arrays(np.array([[10.0, 3000.0]]),
+                                    np.array([[1, ngpt]]))
+    t = OpticalProps2str(tau=jnp.asarray(rng.uniform(0.1, 1, (ncol, nlay, ngpt))),
+                         ssa=jnp.full((ncol, nlay, ngpt), 0.5),
+                         g=jnp.full((ncol, nlay, ngpt), 0.3), grid=grid)
+    p = jnp.zeros((nmom, ncol, nlay, ngpt)).at[0].set(0.85)
+    o_n = OpticalPropsNstr(tau=jnp.full((ncol, nlay, ngpt), 0.7),
+                           ssa=jnp.full((ncol, nlay, ngpt), 0.9),
+                           p=p, grid=grid)
+    o_2 = OpticalProps2str(tau=o_n.tau, ssa=o_n.ssa,
+                           g=jnp.full((ncol, nlay, ngpt), 0.85), grid=grid)
+    got = increment(t, o_n)
+    want = increment(t, o_2)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(want.g),
+                               rtol=1e-6)
+    assert float(jnp.max(got.g)) > 0.3   # forward peak actually arrived
+
+
+def test_increment_nstr_mom_lim():
+    """nstr += nstr with differing moment counts previously crashed with
+    a broadcast error; the reference blends min(nmom) moments and leaves
+    the target's higher moments untouched."""
+    from rte_rrtmgp_tpu import OpticalPropsNstr, increment
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    ncol, nlay, ngpt = 2, 3, 4
+    grid = SpectralGrid.from_arrays(np.array([[10.0, 3000.0]]),
+                                    np.array([[1, ngpt]]))
+    t = OpticalPropsNstr(tau=jnp.ones((ncol, nlay, ngpt)),
+                         ssa=jnp.full((ncol, nlay, ngpt), 0.5),
+                         p=jnp.full((4, ncol, nlay, ngpt), 0.2), grid=grid)
+    o = OpticalPropsNstr(tau=jnp.ones((ncol, nlay, ngpt)),
+                         ssa=jnp.full((ncol, nlay, ngpt), 0.5),
+                         p=jnp.full((2, ncol, nlay, ngpt), 0.8), grid=grid)
+    out = increment(t, o)
+    assert out.p.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(out.p[0]), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.p[3]), 0.2, rtol=1e-6)
+
+
+def test_delta_scale_f_bounds():
+    from rte_rrtmgp_tpu import OpticalProps2str, delta_scale
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    grid = SpectralGrid.from_arrays(np.array([[10.0, 3000.0]]),
+                                    np.array([[1, 4]]))
+    p = OpticalProps2str(tau=jnp.ones((2, 3, 4)),
+                         ssa=jnp.full((2, 3, 4), 0.9),
+                         g=jnp.full((2, 3, 4), 0.5), grid=grid)
+    with pytest.raises(ValueError, match="bounds"):
+        delta_scale(p, f=jnp.full((2, 3, 4), 1.2))
+
+
+def test_byband_jacobian_broadband():
+    """rte_lw(byband=True, compute_jacobian=True): the Jacobian must be
+    BROADBAND regardless of the flux resolution (the reference's
+    dF/dT_sfc is broadband-only); previously the ragged-band path
+    returned it per g-point, disagreeing with the uniform fast path."""
+    from rte_rrtmgp_tpu import OpticalProps1scl, rte_lw
+    from rte_rrtmgp_tpu.sources import SourcesLW
+    from rte_rrtmgp_tpu.spectral import SpectralGrid
+
+    rng = np.random.default_rng(2)
+    ncol, nlay, ngpt = 4, 6, 8
+    grid = SpectralGrid.from_arrays(
+        np.array([[10.0, 500.0], [500.0, 3000.0]]),
+        np.array([[1, 4], [5, 8]]))
+    props = OpticalProps1scl(
+        tau=jnp.asarray(rng.uniform(0.1, 2.0, (ncol, nlay, ngpt)),
+                        jnp.float32), grid=grid)
+    sources = SourcesLW(
+        lay_source=jnp.asarray(rng.uniform(5, 20, (ncol, nlay, ngpt)),
+                               jnp.float32),
+        lev_source=jnp.asarray(rng.uniform(5, 20, (ncol, nlay + 1, ngpt)),
+                               jnp.float32),
+        sfc_source=jnp.asarray(rng.uniform(10, 30, (ncol, ngpt)),
+                               jnp.float32),
+        sfc_source_jac=jnp.asarray(rng.uniform(0.1, 1, (ncol, ngpt)),
+                                   jnp.float32), grid=grid)
+    f = rte_lw(props, sources, np.ones((ncol, 1)), compute_jacobian=True,
+               byband=True)
+    assert f.flux_up.shape[-1] == 2
+    assert f.flux_up_jac is not None
+    assert f.flux_up_jac.shape == (ncol, nlay + 1)      # broadband
+    # the ragged path (non-contiguous uniform-width grid) must agree
+    grid_r = SpectralGrid.from_arrays(
+        np.array([[500.0, 3000.0], [10.0, 500.0]]),
+        np.array([[5, 8], [1, 4]]))
+    props_r = OpticalProps1scl(tau=props.tau, grid=grid_r)
+    sources_r = SourcesLW(lay_source=sources.lay_source,
+                          lev_source=sources.lev_source,
+                          sfc_source=sources.sfc_source,
+                          sfc_source_jac=sources.sfc_source_jac,
+                          grid=grid_r)
+    f_r = rte_lw(props_r, sources_r, np.ones((ncol, 1)),
+                 compute_jacobian=True, byband=True)
+    assert f_r.flux_up_jac.shape == (ncol, nlay + 1)
+    np.testing.assert_allclose(np.asarray(f_r.flux_up_jac),
+                               np.asarray(f.flux_up_jac), rtol=1e-6)
