@@ -301,10 +301,15 @@ namespace {
  * returns B(T) for one band; index clamps extrapolate out-of-range T. */
 inline Float planck1d(Float t, Float offset, Float delta, const Float* totplnk,
                       long nPlanckTemp, long band) {
+  // reference interpolate1D (mo_gas_optics_rrtmgp_kernels.F90): the
+  // fraction is the fractional part of the UNCLAMPED index (aint), the
+  // index is clamped — out-of-range temperatures follow the reference's
+  // own convention (earlier revisions of this function extrapolated
+  // linearly instead, diverging from the Fortran and the JAX port)
   const Float f = (t - offset) / delta;
+  const Float frac = f - std::trunc(f);
   int i = (int)f + 1;
   i = i < 1 ? 1 : (i > (int)nPlanckTemp - 1 ? (int)nPlanckTemp - 1 : i);
-  const Float frac = f - (Float)(i - 1);
   const Float lo = totplnk[(i - 1) + nPlanckTemp * band];
   const Float hi = totplnk[i + nPlanckTemp * band];
   return lo + frac * (hi - lo);

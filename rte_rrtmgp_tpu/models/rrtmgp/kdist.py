@@ -255,6 +255,23 @@ class KDist:
         grid = SpectralGrid.from_arrays(band_lims_wvn, band_lims_gpt)
         gpt2band = grid.gpt2band                             # 0-based
         ngpt = grid.ngpt
+        # the band-major table transforms below (and the lane/fused
+        # kernels) build the g-point axis by concatenating per-band
+        # slices in row order — bands must tile [1, ngpt] contiguously
+        # ascending, as every published k-distribution does; reject
+        # anything else up front rather than mis-indexing silently
+        blg = np.asarray(band_lims_gpt, np.int64)
+        expect_start = 1
+        for b in range(blg.shape[0]):
+            if blg[b, 0] != expect_start or blg[b, 1] < blg[b, 0]:
+                raise ValueError(
+                    "from_raw: band_lims_gpt must be contiguous ascending "
+                    f"from g-point 1; band {b} spans {blg[b].tolist()} "
+                    f"(expected to start at {expect_start})")
+            expect_start = int(blg[b, 1]) + 1
+        if expect_start != ngpt + 1:
+            raise ValueError("from_raw: band_lims_gpt does not cover "
+                             f"[1, {ngpt}]")
         gpoint_flavor = np.zeros((2, ngpt), np.int64)
         for igpt in range(ngpt):
             for ia in range(2):
@@ -383,9 +400,10 @@ class KDist:
             int(gpoint_flavor[1, g0]) for (g0, _) in mupp.limits_gpt))
 
         krayl = krayl_x = krayl_lane = None
+        if (rayl_lower is None) != (rayl_upper is None):
+            # either alone would silently drop Rayleigh scattering
+            raise ValueError("rayl_lower and rayl_upper must both be provided")
         if rayl_lower is not None:
-            if rayl_upper is None:
-                raise ValueError("rayl_lower and rayl_upper must both be provided")
             krayl = jnp.asarray(np.stack([rayl_lower, rayl_upper], axis=-1), dtype)
             # [jt, je, itropo, de, g]
             rx = np.stack(
@@ -420,6 +438,10 @@ class KDist:
         totplnk_j = planck_j = None
         oaf = None
         if totplnk is not None:
+            if planck_frac is None:
+                raise ValueError("from_raw: totplnk requires planck_frac "
+                                 "(an internal-source k-distribution needs "
+                                 "both Planck tables)")
             totplnk = np.asarray(totplnk, np.float64)
             totplnk_delta = (temp_ref_max - temp_ref_min) / (totplnk.shape[0] - 1)
             totplnk_j = jnp.asarray(totplnk, dtype)

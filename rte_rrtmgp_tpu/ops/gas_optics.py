@@ -394,7 +394,12 @@ def planck_sources(pfrac, *, totplnk, totplnk_delta,
 
     # levels: geometric mean of adjacent layers' pfrac in the interior
     # (reference :695-706); end levels use the adjacent layer's pfrac
-    pf_in = jnp.sqrt(pfrac[:, 1:, :] * pfrac[:, :-1, :])     # (c, l-1, g)
+    # guard the sqrt input with the taken-branch value: at pfrac == 0 in
+    # adjacent layers the geometric mean is 0 but d sqrt(0) = inf would
+    # produce NaN gradients (0 * inf) through jax.grad
+    _pp = pfrac[:, 1:, :] * pfrac[:, :-1, :]
+    pf_in = jnp.where(_pp > 0.0,
+                      jnp.sqrt(jnp.where(_pp > 0.0, _pp, 1.0)), 0.0)
     pf_lev = jnp.concatenate([pfrac[:, :1, :], pf_in, pfrac[:, -1:, :]],
                              axis=1)                         # (c, l+1, g)
     pb_lev = planck_bands(tlev)
@@ -451,7 +456,9 @@ def planck_sources_lanes(pfrac, *, totplnk, totplnk_delta,
 
     # levels: geometric mean of adjacent layers' pfrac in the interior
     # (reference :695-706); end levels use the adjacent layer's pfrac
-    pf_in = jnp.sqrt(pfrac[:, 1:, :] * pfrac[:, :-1, :])
+    _pp = pfrac[:, 1:, :] * pfrac[:, :-1, :]
+    pf_in = jnp.where(_pp > 0.0,
+                      jnp.sqrt(jnp.where(_pp > 0.0, _pp, 1.0)), 0.0)
     pf_lev = jnp.concatenate([pfrac[:, :1, :], pf_in, pfrac[:, -1:, :]],
                              axis=1)                         # (g, l+1, c)
     lev_src = pf_lev * planck_gpt(tlev)
