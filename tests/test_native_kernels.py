@@ -380,3 +380,35 @@ def test_argtypes_reject_wrong_call():
     with pytest.raises((ctypes.ArgumentError, TypeError)):
         fn(ctypes.c_int(1), ctypes.c_int(1), ctypes.c_int(1),
            ctypes.c_double(0.0))   # Float* param given a double scalar
+
+
+def test_native_planck_out_of_range_matches_jax(rrtmgp_problem):
+    """Surface temperatures OUTSIDE the totplnk table range: the native
+    planck1d previously extrapolated linearly while the JAX port follows
+    the reference interpolate1D (clamped index, unclamped fraction) —
+    they must agree bit-for-bit semantics now (round-5 alignment)."""
+    kd, _, gop, _, inputs = rrtmgp_problem
+    nk64 = native.load(np.float64)
+    interp, cg, _, idx_h2o, _ = _native_interp(nk64, kd, gop, inputs)
+
+    # push the surface temperatures past both table ends
+    ncol = inputs.play.shape[0]
+    tsfc_hot = np.full(ncol, kd.temp_ref_max + 40.0)
+    tsfc_cold = np.full(ncol, kd.temp_ref_min - 30.0)
+    for tsfc in (tsfc_hot, tsfc_cold):
+        sfc, _, _, jac = nk64.compute_planck_source(
+            interp, tlay=np.asarray(inputs.tlay),
+            tlev=np.asarray(inputs.tlev), tsfc=tsfc,
+            sfc_lay=inputs.play.shape[1], gpt2band=kd.grid.gpt2band,
+            band_lims_gpt=kd.grid.band_lims_gpt_array,
+            planck_frac=np.asarray(kd.planck_frac),
+            temp_ref_min=kd.temp_ref_min, totplnk_delta=kd.totplnk_delta,
+            totplnk=np.asarray(kd.totplnk),
+            gpoint_flavor=kd.gpoint_flavor)
+        _, sources = gop.gas_optics_lw(
+            inputs.play, inputs.plev, inputs.tlay, jnp.asarray(tsfc),
+            inputs.gas_concs, tlev=inputs.tlev, top_at_1=True)
+        np.testing.assert_allclose(sfc, np.asarray(sources.sfc_source),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(jac, np.asarray(sources.sfc_source_jac),
+                                   rtol=1e-8, atol=1e-12)
