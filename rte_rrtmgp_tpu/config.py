@@ -21,6 +21,9 @@ __all__ = [
     "get_config",
     "set_checks",
     "set_dtype",
+    "set_use_pallas",
+    "set_assume_pressure_window",
+    "set_fused_adjoint",
     "working_dtype",
     "checks_disabled",
     "on_tpu",

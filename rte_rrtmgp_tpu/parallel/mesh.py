@@ -22,8 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["column_mesh", "shard_columns", "replicate", "column_sharding",
-           "pad_columns", "domain_mean"]
+__all__ = ["column_mesh", "shard_columns", "shard_map_columns",
+           "replicate", "column_sharding", "pad_columns", "domain_mean"]
 
 COLUMNS = "columns"
 
@@ -102,6 +102,16 @@ def shard_map_columns(fn, mesh: Mesh, ncol: int):
     layout (ngpt, ncol) one when ngpt == ncol, so any array whose leading
     axis differs from ncol but that carries ncol in a later axis is
     rejected — pass explicit ``in_specs``/``out_specs`` for those.
+
+    WARNING — column-reduced outputs: an output WITHOUT a leading
+    column axis (a scalar loss, a domain mean) is inferred replicated,
+    and because ``check_vma=False`` is required for the Pallas custom
+    calls, shard_map does NOT verify the replication — such an output
+    silently carries ONE shard's value, not the global reduction. Close
+    reductions over columns inside ``fn`` with the mesh collective
+    (``domain_mean(x, axis_name=COLUMNS)`` / ``jax.lax.psum``) or
+    reduce on the host after the sharded call returns per-column
+    fields.
     """
     def spec_of(x, n):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:

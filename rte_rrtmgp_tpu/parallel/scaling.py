@@ -50,10 +50,17 @@ def _time_step(step, inputs, reps):
 
 
 def _shard_cols(tree, mesh, ncol):
+    """Shard arrays with a leading column axis of size ncol; other
+    leaves pass through. Multi-process runs assemble the global array
+    from each process's local block (mesh.shard_columns semantics — a
+    plain device_put would raise on non-addressable devices there)."""
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncol:
-            return jax.device_put(x, NamedSharding(
-                mesh, P(COLUMNS, *([None] * (x.ndim - 1)))))
+            sh = NamedSharding(mesh, P(COLUMNS, *([None] * (x.ndim - 1))))
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    sh, np.asarray(x))
+            return jax.device_put(x, sh)
         return x
     return jax.tree_util.tree_map(place, tree)
 
@@ -150,7 +157,7 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
         # the run: every chunk pays a real host->device upload of every
         # per-column field, as a production ingest loop would
         pool = []
-        for _p in range(max(2, host_pool)):
+        for _p in range(max(1, host_pool)):
             inp = make_allsky_inputs(chunk, nlay, cloud_optics=cld_lw)
             pool.append(jax.tree_util.tree_map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x, inp))
@@ -184,7 +191,7 @@ def podscale_allsky(total_columns: int = 10_000_000, nlay: int = 72,
             nxt_fut = None
             if verbose and k % max(1, n_chunks // 10) == 0:
                 _force(out)
-                done = (k + 1) * chunk
+                done = (k + 1) * chunk * reps_per_chunk
                 dt = time.perf_counter() - t0
                 print(f"  chunk {k + 1}/{n_chunks}: {done:,} cols in "
                       f"{dt:.1f} s ({done / dt:,.0f} cols/s aggregate)")

@@ -47,6 +47,22 @@ class NCFile:
             self._h5 = h5py.File(path, "r")
             self._nc = None
 
+    def close(self) -> None:
+        """Release the underlying file handle (loaders call this; the
+        object is also a context manager)."""
+        if self._nc is not None:
+            self._nc.close()
+        elif self._h5 is not None:
+            self._h5.close()
+        self._nc = self._h5 = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def has(self, name: str) -> bool:
         if self._nc is not None:
             return name in self._nc.variables
@@ -87,8 +103,10 @@ class NCFile:
         raw = self.var(name)
         if raw.dtype.kind in ("S", "U"):
             if raw.ndim == 1:
-                return [s.decode() if isinstance(s, bytes) else str(s)
-                        for s in raw]
+                # strip like the 2-D char-array branch: fixed-width
+                # string variables are space-padded too
+                return [(s.decode() if isinstance(s, bytes) else str(s)
+                         ).strip() for s in raw]
             out = []
             for row in raw:
                 chars = [c.decode() if isinstance(c, bytes) else str(c)
@@ -156,6 +174,7 @@ def load_gas_optics(path: str, available_gases, dtype=None):
         kwargs["tsi_default"] = float(v("tsi_default"))
         kwargs["mg_default"] = float(v("mg_default"))
         kwargs["sb_default"] = float(v("sb_default"))
+    f.close()
     return KDist.from_raw(available_gases, dtype=dtype, **kwargs)
 
 
@@ -176,12 +195,14 @@ def load_cloud_optics(path: str, dtype=None):
     ssaice = np.transpose(f.var("ssaice"), (2, 1, 0))
     asyice = np.transpose(f.var("asyice"), (2, 1, 0))
     band_lims_gpt = f.var("bnd_limits_gpt") if f.has("bnd_limits_gpt") else None
-    return CloudOpticsRRTMGP.load(
+    out = CloudOpticsRRTMGP.load(
         f.var("bnd_limits_wavenumber"),
         float(f.var("radliq_lwr")), float(f.var("radliq_upr")),
         float(f.var("diamice_lwr")), float(f.var("diamice_upr")),
         extliq, ssaliq, asyliq, extice, ssaice, asyice,
         band_lims_gpt=band_lims_gpt, dtype=dtype)
+    f.close()
+    return out
 
 
 def load_aerosol_optics(path: str, dtype=None):
@@ -199,7 +220,7 @@ def load_aerosol_optics(path: str, dtype=None):
         a = f.var(name)
         return np.transpose(a, tuple(reversed(range(a.ndim))))
 
-    return AerosolOpticsMERRA.load(
+    out = AerosolOpticsMERRA.load(
         f.var("bnd_limits_wavenumber"),
         rv("merra_aero_bin_lims"), f.var("aero_rh"),
         rv("aero_dust_tbl"),
@@ -210,6 +231,8 @@ def load_aerosol_optics(path: str, dtype=None):
         rv("aero_ocar_tbl"),
         np.transpose(rv("aero_ocar_rh_tbl"), (1, 0, 2)),
         dtype=dtype)
+    f.close()
+    return out
 
 
 def load_solar_variability(path: str) -> np.ndarray:
@@ -221,6 +244,7 @@ def load_solar_variability(path: str) -> np.ndarray:
     mo_solar_variability.F90:47-96)."""
     f = NCFile(path)
     tbl = np.asarray(f.var("solar_var_avgcyc"), np.float64).T
+    f.close()
     if tbl.shape[0] != 2:
         raise ValueError(
             f"{path}: solar_var_avgcyc must be (n_solar_frac, 2), "
